@@ -1,0 +1,201 @@
+"""Transform plan: validated config + device-cached filter bank + dec/rec.
+
+The reference's core design decision — precompute the filter bank once in the
+constructor so repeated ``dec``/``rec`` calls in iterative algorithms are
+cheap (``README.md:2``, ``Functions/nd_dwt_2D.m:1-4``) — carried over: an
+:class:`NDDWT` plan owns per-axis frequency responses (FFT path) and
+correlation taps (direct/Pallas path) as device arrays, plus jitted,
+shape-static transform callables.
+
+Unlike the reference's four near-copy classes (``Functions/nd_dwt_{1,2,3,4}D.m``),
+the plan is dimension-generic (like the reference's MEX core,
+``mex/nddwt.c:98-99``) and works for any ndim >= 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import filters as _filters
+from . import oracle as _oracle
+from .ops import direct_path, fft_path
+
+_VALID_PATHS = ("auto", "fft", "direct", "pallas")
+_REAL_DTYPES = {
+    "float32": jnp.float32,
+    "float64": jnp.float64,
+    "single": jnp.float32,
+    "double": jnp.float64,
+}
+
+
+def _as_real_dtype(dtype) -> jnp.dtype:
+    if isinstance(dtype, str):
+        key = dtype.lower()
+        if key in _REAL_DTYPES:
+            dt = _REAL_DTYPES[key]
+        else:
+            dt = jnp.dtype(dtype)
+    else:
+        dt = jnp.dtype(dtype)
+    dt = jnp.dtype(dt)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+        raise ValueError(
+            f"precision must be float32/float64 ('single'/'double'), got {dtype!r}"
+        )
+    if dt == jnp.dtype(jnp.float64) and not jax.config.read("jax_enable_x64"):
+        raise ValueError(
+            "float64 requested but jax_enable_x64 is off; "
+            "set JAX_ENABLE_X64=1 or jax.config.update('jax_enable_x64', True)"
+        )
+    return dt
+
+
+@dataclasses.dataclass(frozen=True)
+class NDDWT:
+    """Plan for a multidimensional non-decimated DWT.
+
+    Parameters mirror the reference constructors
+    (``Functions/nd_dwt_1D.m:79-133``): ``wavelet`` is one name or one per
+    axis; ``shape`` the spatial extents; ``preserve_l2`` the tight-frame
+    normalization (``pres_l2_norm``); ``dtype`` the precision
+    (``'single'``/``'double'`` accepted); ``path`` selects the compute
+    strategy (the TPU analogue of the reference's ``compute`` option):
+
+    * ``'fft'``    — frequency-domain fast convolution (XLA FFT);
+    * ``'direct'`` — spatial-domain circular stencils (Haar-class pattern
+      generalized; float64-capable on TPU);
+    * ``'pallas'`` — fused Pallas TPU kernels for the direct stencils;
+    * ``'auto'``   — pick per (filter length, dtype, backend).
+    """
+
+    wavelet: object
+    shape: tuple
+    preserve_l2: bool = False
+    dtype: object = jnp.float32
+    path: str = "auto"
+
+    # Derived/cached fields (filled in __post_init__).
+    wavelets: tuple = dataclasses.field(init=False)
+    ndim: int = dataclasses.field(init=False)
+    real_dtype: object = dataclasses.field(init=False)
+    complex_dtype: object = dataclasses.field(init=False)
+    resp: tuple = dataclasses.field(init=False, repr=False)
+    taps: tuple = dataclasses.field(init=False, repr=False)
+    filter_lengths: tuple = dataclasses.field(init=False)
+
+    def __post_init__(self):
+        shape = tuple(int(s) for s in self.shape)
+        if len(shape) < 1:
+            raise ValueError("shape must have at least one axis")
+        if any(s < 1 for s in shape):
+            raise ValueError(f"invalid shape {shape}")
+        object.__setattr__(self, "shape", shape)
+        object.__setattr__(self, "ndim", len(shape))
+        wavelets = _oracle._normalize_wavelets(self.wavelet, len(shape))
+        object.__setattr__(self, "wavelets", wavelets)
+        if self.path not in _VALID_PATHS:
+            raise ValueError(f"path must be one of {_VALID_PATHS}, got {self.path!r}")
+
+        rdt = _as_real_dtype(self.dtype)
+        cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
+        object.__setattr__(self, "real_dtype", rdt)
+        object.__setattr__(self, "complex_dtype", cdt)
+
+        scale = 1.0 / np.sqrt(2.0) if self.preserve_l2 else 1.0
+        resp, taps, flens = [], [], []
+        for w, n in zip(wavelets, shape):
+            F = _filters.frequency_response(w, n)  # validates K <= n
+            lo, hi = _filters.correlation_taps(w)
+            flens.append(len(lo))
+            resp.append(jnp.asarray(scale * F, dtype=cdt))
+            taps.append(jnp.asarray(scale * np.stack([lo, hi]), dtype=rdt))
+        object.__setattr__(self, "resp", tuple(resp))
+        object.__setattr__(self, "taps", tuple(taps))
+        object.__setattr__(self, "filter_lengths", tuple(flens))
+
+    # ------------------------------------------------------------------ paths
+    def _resolve_path(self, is_complex: bool) -> str:
+        if self.path != "auto":
+            return self.path
+        # f64 FFT is unavailable on TPU (TPU FFT is f32-only); the direct
+        # path handles f64 via XLA's elementwise emulation. For short
+        # filters the direct path is the bandwidth winner anyway.
+        if self.real_dtype == jnp.dtype(jnp.float64):
+            return "direct"
+        if max(self.filter_lengths) <= 12:
+            return "direct"
+        return "fft"
+
+    # ------------------------------------------------------------------- dec
+    def dec(self, x, level: int, band_axis: int = -1):
+        """Multilevel analysis. ``band_axis=-1`` gives the reference layout
+        ``[n1..nd, B]`` (``Functions/nd_dwt_1D.m:43-49``); ``0`` gives the
+        TPU-friendly band-first layout."""
+        level = int(level)
+        if level < 1:
+            raise ValueError(f"level must be >= 1, got {level}")
+        x = jnp.asarray(x)
+        if x.shape != self.shape:
+            raise ValueError(
+                f"input shape {x.shape} does not match plan shape {self.shape}"
+            )
+        is_complex = jnp.iscomplexobj(x)
+        x = x.astype(self.complex_dtype if is_complex else self.real_dtype)
+        path = self._resolve_path(is_complex)
+        if path == "fft":
+            y = fft_path.dec_fft(x, self.resp, level, real_out=not is_complex)
+        elif path == "pallas":
+            from .ops import pallas_kernels
+
+            y = pallas_kernels.dec_pallas(x, self.taps, level)
+        else:
+            y = direct_path.dec_direct(x, self.taps, level)
+        if band_axis in (-1, y.ndim - 1):
+            y = jnp.moveaxis(y, 0, -1)
+        elif band_axis != 0:
+            raise ValueError("band_axis must be 0 or -1")
+        return y
+
+    # ------------------------------------------------------------------- rec
+    def rec(self, y, band_axis: int = -1):
+        """Multilevel synthesis; level inferred from the band count
+        (``Functions/nd_dwt_3D.m:217``)."""
+        y = jnp.asarray(y)
+        if y.ndim != self.ndim + 1:
+            raise ValueError(
+                f"expected {self.ndim + 1}-D band array, got {y.ndim}-D"
+            )
+        if band_axis in (-1, y.ndim - 1):
+            y = jnp.moveaxis(y, -1, 0)
+        elif band_axis != 0:
+            raise ValueError("band_axis must be 0 or -1")
+        if y.shape[1:] != self.shape:
+            raise ValueError(
+                f"band array spatial shape {y.shape[1:]} does not match plan "
+                f"shape {self.shape}"
+            )
+        level = _oracle.level_from_bands(self.ndim, y.shape[0])
+        is_complex = jnp.iscomplexobj(y)
+        y = y.astype(self.complex_dtype if is_complex else self.real_dtype)
+        path = self._resolve_path(is_complex)
+        if path == "fft":
+            x = fft_path.rec_fft(
+                y, self.resp, level, self.preserve_l2, real_out=not is_complex
+            )
+        elif path == "pallas":
+            from .ops import pallas_kernels
+
+            x = pallas_kernels.rec_pallas(y, self.taps, level, self.preserve_l2)
+        else:
+            x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
+        return x
+
+    # ------------------------------------------------------------ convenience
+    def num_bands(self, level: int) -> int:
+        return _oracle.num_bands(self.ndim, level)
