@@ -1,0 +1,102 @@
+"""Reference-compatible class API tests: the backend x precision sweep of
+``Test/nddwt{1,2,3,4}D_test.m`` recast as asserts, plus the reference's
+documented error/warning behaviors."""
+
+import warnings
+
+import numpy as np
+import pytest
+
+import non_decimated_wavelets_tpu as nw
+
+
+@pytest.mark.parametrize(
+    "cls,shape,wv",
+    [
+        (nw.nd_dwt_1D, (54,), "db4"),
+        (nw.nd_dwt_2D, (26, 26), ("db1", "db3")),
+        (nw.nd_dwt_3D, (16, 12, 10), ("db1", "db3", "db2")),
+        (nw.nd_dwt_4D, (8, 8, 6, 6), "db2"),
+    ],
+)
+@pytest.mark.parametrize("compute", ["jax", "gpu_off", "numpy"])
+@pytest.mark.parametrize("pl2", [False, True])
+def test_backend_sweep(cls, shape, wv, compute, pl2, rng):
+    """Round-trip + energy invariants over the backend matrix — the
+    reference's test tier 1 (Test/nddwt1D_test.m:14-76)."""
+    t = cls(wv, shape, pres_l2_norm=pl2, compute=compute)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    y = t.dec(x, 2)
+    xr = t.rec(y)
+    assert np.max(np.abs(np.asarray(xr) - x)) < 1e-12
+    if pl2:
+        assert abs(np.linalg.norm(np.asarray(y)) / np.linalg.norm(x) - 1) < 1e-12
+    if compute in ("gpu_off", "numpy"):
+        assert isinstance(y, np.ndarray)
+
+
+def test_single_precision(rng):
+    t = nw.nd_dwt_2D("db2", (32, 32), precision="single")
+    x = rng.standard_normal((32, 32)).astype(np.float32)
+    y = t.dec(x, 2)
+    assert np.asarray(y).dtype == np.float32
+    assert np.max(np.abs(np.asarray(t.rec(y)) - x)) < 1e-5
+
+
+def test_1d_row_vector(rng):
+    """(1, N) inputs auto-flatten (Functions/nd_dwt_1D.m:151-153)."""
+    t = nw.nd_dwt_1D("db2", 40)
+    x = rng.standard_normal((1, 40))
+    y = t.dec(x, 2)
+    assert np.asarray(y).shape == (40, 3)
+
+
+def test_unknown_option_warns():
+    with pytest.warns(UserWarning, match="Unknown optional input"):
+        nw.nd_dwt_1D("db1", 16, bogus_option=1)
+
+
+def test_unknown_compute_raises():
+    with pytest.raises(ValueError):
+        nw.nd_dwt_1D("db1", 16, compute="quantum")
+
+
+def test_size_arity_errors():
+    with pytest.raises(ValueError):
+        nw.nd_dwt_1D("db1", (16, 16))
+    with pytest.raises(ValueError):
+        nw.nd_dwt_3D("db1", (16, 16))
+
+
+def test_filter_longer_than_axis_errors():
+    """Same trigger as the reference (Functions/nd_dwt_3D.m:277-286)."""
+    with pytest.raises(ValueError):
+        nw.nd_dwt_2D("db4", (4, 32))
+
+
+def test_f_size():
+    t = nw.nd_dwt_2D(("db2", "db4"), (32, 32))
+    assert t.f_size == (4, 8)
+
+
+@pytest.mark.parametrize("cls,shape", [(nw.harr_nddwt_2D, (16, 18)), (nw.harr_nddwt_4D, (8, 6, 6, 4))])
+def test_haar_classes_match_db1(cls, shape, rng):
+    """The Haar direct classes produce outputs identical to the db1 FFT path
+    (verified for the reference during the survey; here cross-path)."""
+    x = rng.standard_normal(shape)
+    th = cls(sizes=shape, pres_l2_norm=True)
+    ref = nw.NDDWT(wavelet="db1", shape=shape, preserve_l2=True, dtype="double", path="fft")
+    y_h = np.asarray(th.dec(x, 2))
+    y_f = np.asarray(ref.dec(np.asarray(x), 2))
+    np.testing.assert_allclose(y_h, y_f, atol=1e-12)
+    assert np.max(np.abs(np.asarray(th.rec(y_h)) - x)) < 1e-12
+
+
+def test_haar_rejects_non_haar():
+    with pytest.raises(ValueError):
+        nw.harr_nddwt_2D("db4", (16, 16))
+
+
+def test_mixed_wavelet_count_error():
+    with pytest.raises(ValueError):
+        nw.nd_dwt_2D(("db1", "db2", "db3"), (16, 16))

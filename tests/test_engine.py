@@ -1,0 +1,110 @@
+"""JAX engine vs golden oracle: cross-path agreement (the analogue of the
+reference's mat-vs-mex tier, ``mex/mex_test.m``), dtype sweeps, functional
+transforms (jit/vmap/grad) the reference could never offer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import non_decimated_wavelets_tpu as nw
+from non_decimated_wavelets_tpu import oracle
+
+CASES = [
+    ((54,), "db4", 3),
+    ((26, 22), ("db2", "db3"), 3),
+    ((16, 14, 10), ("db1", "db4", "db2"), 2),
+    ((8, 12, 10, 6), "db2", 2),
+]
+
+
+@pytest.mark.parametrize("shape,wv,lvl", CASES)
+@pytest.mark.parametrize("pl2", [False, True])
+@pytest.mark.parametrize("path", ["fft", "direct"])
+def test_vs_oracle_f64(shape, wv, lvl, pl2, path, rng):
+    x = rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype="double", path=path)
+    y = np.asarray(plan.dec(x, lvl))
+    np.testing.assert_allclose(
+        y, oracle.dec(x, wv, lvl, preserve_l2=pl2), atol=1e-12
+    )
+    xr = np.asarray(plan.rec(y))
+    assert np.max(np.abs(xr - x)) < 1e-12
+
+
+@pytest.mark.parametrize("path", ["fft", "direct"])
+def test_complex_vs_oracle(path, rng):
+    shape, wv, lvl = (20, 18), ("db3", "db2"), 2
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype="double", path=path)
+    y = np.asarray(plan.dec(x, lvl))
+    assert np.iscomplexobj(y)
+    np.testing.assert_allclose(y, oracle.dec(x, wv, lvl), atol=1e-12)
+    assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
+
+
+@pytest.mark.parametrize("path", ["fft", "direct"])
+def test_f32_roundtrip(path, rng):
+    shape = (32, 32)
+    x = rng.standard_normal(shape).astype(np.float32)
+    plan = nw.NDDWT(wavelet="db4", shape=shape, dtype="single", path=path)
+    y = plan.dec(x, 3)
+    assert y.dtype == jnp.float32
+    xr = np.asarray(plan.rec(y))
+    assert np.max(np.abs(xr - x)) < 5e-5
+
+
+def test_band_first_layout(rng):
+    shape = (16, 16)
+    x = rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype="double")
+    y_last = np.asarray(plan.dec(x, 2, band_axis=-1))
+    y_first = np.asarray(plan.dec(x, 2, band_axis=0))
+    np.testing.assert_allclose(np.moveaxis(y_first, 0, -1), y_last, atol=0)
+    xr = np.asarray(plan.rec(y_first, band_axis=0))
+    assert np.max(np.abs(xr - x)) < 1e-12
+
+
+def test_vmap_batches(rng):
+    """The transform is vmap-able — the capability the reference's per-call
+    MATLAB loops could not express."""
+    shape = (16, 12)
+    xb = rng.standard_normal((5,) + shape)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype="double", path="direct")
+    yb = jax.vmap(lambda x: plan.dec(x, 2))(jnp.asarray(xb))
+    for i in range(5):
+        np.testing.assert_allclose(
+            np.asarray(yb[i]), oracle.dec(xb[i], "db2", 2), atol=1e-12
+        )
+
+
+def test_grad_flows(rng):
+    """dec/rec are linear; grad of a scalar loss must flow and equal the
+    adjoint-transform image (preserve_l2 => rec is the exact adjoint)."""
+    shape = (12, 10)
+    x = jnp.asarray(rng.standard_normal(shape))
+    plan = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True, dtype="double")
+    w = jnp.asarray(rng.standard_normal(shape + (plan.num_bands(2),)))
+
+    def loss(x):
+        return jnp.vdot(plan.dec(x, 2), w).real
+
+    g = jax.grad(loss)(x)
+    expected = plan.rec(w)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(expected), atol=1e-10)
+
+
+def test_plan_validation():
+    with pytest.raises(ValueError):
+        nw.NDDWT(wavelet="db4", shape=(5,), dtype="double")  # filter > axis
+    with pytest.raises(ValueError):
+        nw.NDDWT(wavelet="db4", shape=(16,), path="bogus")
+    with pytest.raises(ValueError):
+        nw.NDDWT(wavelet=("db1", "db2"), shape=(16,))
+    plan = nw.NDDWT(wavelet="db2", shape=(16, 16), dtype="double")
+    with pytest.raises(ValueError):
+        plan.dec(np.zeros((8, 8)), 1)  # shape mismatch
+    with pytest.raises(ValueError):
+        plan.dec(np.zeros((16, 16)), 0)  # bad level
+    with pytest.raises(ValueError):
+        plan.rec(np.zeros((16, 16, 9)))  # invalid band count

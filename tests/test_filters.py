@@ -1,0 +1,91 @@
+"""Filter-layer tests.
+
+The reference hard-codes db1..db10 tables (``wave_filters.m:19-156``); we
+generate them by spectral factorization, so these tests pin the mathematics:
+QMF orthonormality, vanishing moments, closed-form db1/db2 values, and the
+correlation-orientation conventions the engine relies on.
+"""
+
+import numpy as np
+import pytest
+
+from non_decimated_wavelets_tpu import filters as F
+
+
+@pytest.mark.parametrize("p", list(range(1, 13)))
+def test_orthonormality_and_moments(p):
+    t = F.daubechies_taps(p)
+    assert len(t) == 2 * p
+    # sum = sqrt(2)
+    assert abs(t.sum() - np.sqrt(2)) < 1e-13
+    # double-shift orthonormality: sum_n h[n] h[n+2k] = delta_k
+    for k in range(p):
+        v = np.dot(t[: len(t) - 2 * k], t[2 * k :])
+        assert abs(v - (1.0 if k == 0 else 0.0)) < 1e-12, (p, k, v)
+    # p vanishing moments of the high-pass
+    u = F.qmf_highpass(t)
+    for m in range(p):
+        v = np.dot(u, np.arange(len(u), dtype=float) ** m)
+        assert abs(v) < 1e-9 * max(1, len(u) ** m), (p, m, v)
+
+
+def test_db1_db2_closed_form():
+    t1 = F.daubechies_taps(1)
+    np.testing.assert_allclose(t1, [1 / np.sqrt(2)] * 2, atol=1e-15)
+    s3 = np.sqrt(3)
+    expected = np.array([1 + s3, 3 + s3, 3 - s3, 1 - s3]) / (4 * np.sqrt(2))
+    np.testing.assert_allclose(F.daubechies_taps(2), expected, atol=1e-14)
+
+
+def test_extremal_phase_orientation():
+    # Reference table order has the two large taps first (wave_filters.m:24-28).
+    t = F.daubechies_taps(4)
+    assert np.argmax(np.abs(t)) < len(t) // 2
+
+
+def test_qmf_haar_signs():
+    # Haar H band must be (x[n] - x[n+1])/sqrt(2): matches the reference
+    # Haar stencil (Functions/harr_nddwt_2D.m:250-287).
+    lo, hi = F.correlation_taps("db1")
+    np.testing.assert_allclose(lo, [1 / np.sqrt(2)] * 2, atol=1e-15)
+    np.testing.assert_allclose(hi, [1 / np.sqrt(2), -1 / np.sqrt(2)], atol=1e-15)
+
+
+def test_decomposition_filters_orientation():
+    # wave_filters.m returns both filters time-reversed (lines 162-172):
+    # low_d = reverse(table); check against correlation taps.
+    lo_c, hi_c = F.correlation_taps("db3")
+    low_d, hi_d = F.decomposition_filters("db3")
+    np.testing.assert_allclose(low_d, lo_c[::-1], atol=0)
+    np.testing.assert_allclose(hi_d, hi_c[::-1], atol=0)
+
+
+def test_frequency_response_matches_reference_construction():
+    # F = shift * fft(low_d, n) with shift = exp(2j pi (K/2) k / n)
+    # (Functions/nd_dwt_1D.m:274,288-289).
+    n = 37
+    low_d, hi_d = F.decomposition_filters("db4")
+    K = len(low_d)
+    shift = np.exp(2j * np.pi * (K / 2) * np.arange(n) / n)
+    ref = np.stack(
+        [shift * np.fft.fft(low_d, n), shift * np.fft.fft(hi_d, n)]
+    )
+    got = F.frequency_response("db4", n)
+    np.testing.assert_allclose(got, ref, atol=1e-12)
+
+
+def test_name_parsing_and_errors():
+    assert F.parse_wavelet_name("haar") == 1
+    assert F.parse_wavelet_name("DB7") == 7
+    with pytest.raises(ValueError):
+        F.parse_wavelet_name("sym4")
+    with pytest.raises(ValueError):
+        F.parse_wavelet_name("db0")
+    with pytest.raises(TypeError):
+        F.parse_wavelet_name(4)
+    with pytest.raises(ValueError):
+        F.qmf_highpass(np.ones(5))  # odd length unsupported
+    with pytest.raises(ValueError):
+        # filter longer than axis: same trigger as the reference error
+        # (Functions/nd_dwt_3D.m:277-286)
+        F.frequency_response("db4", 5)
