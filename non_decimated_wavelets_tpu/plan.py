@@ -108,13 +108,16 @@ class NDDWT:
         object.__setattr__(self, "complex_dtype", cdt)
 
         scale = 1.0 / np.sqrt(2.0) if self.preserve_l2 else 1.0
+        # Stored as host NumPy arrays: they are tiny, hashable into jit
+        # traces as constants, and avoid device->host round trips when a
+        # transform is traced inside an outer jit.
         resp, taps, flens = [], [], []
         for w, n in zip(wavelets, shape):
             F = _filters.frequency_response(w, n)  # validates K <= n
             lo, hi = _filters.correlation_taps(w)
             flens.append(len(lo))
-            resp.append(jnp.asarray(scale * F, dtype=cdt))
-            taps.append(jnp.asarray(scale * np.stack([lo, hi]), dtype=rdt))
+            resp.append(np.asarray(scale * F, dtype=cdt))
+            taps.append(np.asarray(scale * np.stack([lo, hi]), dtype=rdt))
         object.__setattr__(self, "resp", tuple(resp))
         object.__setattr__(self, "taps", tuple(taps))
         object.__setattr__(self, "filter_lengths", tuple(flens))
@@ -122,6 +125,17 @@ class NDDWT:
     # ------------------------------------------------------------------ paths
     def _resolve_path(self, is_complex: bool) -> str:
         if self.path != "auto":
+            if (
+                self.path == "fft"
+                and self.real_dtype == jnp.dtype(jnp.float64)
+                and jax.default_backend() not in ("cpu",)
+            ):
+                # complex128 FFT hangs on TPU (observed: the tunnel never
+                # returns); refuse loudly instead.
+                raise ValueError(
+                    "path='fft' with float64 is unsupported on TPU (no c128 "
+                    "FFT); use path='direct' or dtype='single'"
+                )
             return self.path
         # f64 FFT is unavailable on TPU (TPU FFT is f32-only); the direct
         # path handles f64 via XLA's elementwise emulation. For short

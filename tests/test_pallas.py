@@ -1,0 +1,60 @@
+"""Pallas kernel tests in TPU interpreter mode (runs on the CPU CI mesh —
+the Pallas analogue of the reference's mat-vs-mex cross-backend tier,
+``mex/mex_test.m``). On real TPU hardware the same kernels are exercised by
+``bench.py``."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+import non_decimated_wavelets_tpu as nw
+from non_decimated_wavelets_tpu.ops import direct_path, pallas_kernels
+
+
+CASES = [
+    ((32, 128), "db4", 2),
+    ((32, 256), ("db2", "db6"), 1),
+    ((16, 16, 128), ("db2", "db3", "db4"), 2),
+    ((8, 8, 128), "db1", 3),
+]
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES)
+def test_dec_matches_direct(shape, wv, level, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yp = pallas_kernels.dec_pallas(x, plan.taps, level)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES)
+@pytest.mark.parametrize("pl2", [False, True])
+def test_rec_roundtrip(shape, wv, level, pl2, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    with pltpu.force_tpu_interpret_mode():
+        xr = pallas_kernels.rec_pallas(yd, plan.taps, level, pl2)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_fallback_unsupported_shape(rng):
+    """Shapes the kernels can't tile fall back to the XLA direct path."""
+    plan = nw.NDDWT(wavelet="db2", shape=(30, 50), dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal((30, 50)), jnp.float32)
+    y = pallas_kernels.dec_pallas(x, plan.taps, 2)  # no pallas, pure XLA
+    yd = direct_path.dec_direct(x, plan.taps, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=0)
+
+
+def test_plan_pallas_path(rng):
+    """path='pallas' through the public plan API (interpret mode)."""
+    plan = nw.NDDWT(wavelet="db2", shape=(16, 128), dtype=jnp.float32, path="pallas")
+    x = rng.standard_normal((16, 128)).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = plan.dec(x, 2)
+        xr = plan.rec(y)
+    assert np.max(np.abs(np.asarray(xr) - x)) < 1e-4
