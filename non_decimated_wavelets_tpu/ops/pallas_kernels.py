@@ -48,34 +48,52 @@ from jax.experimental.pallas import tpu as pltpu
 from . import direct_path
 
 
-def _tile_plan(shape, max_k):
-    """Leading-axis tile sizes under a conservative VMEM budget, or None."""
+def _round8(n: int) -> int:
+    """DMA extents with non-multiple-of-8 sublane counts fault the TPU
+    worker (observed empirically on v5e); round halo'd tile extents up."""
+    return -(-n // 8) * 8
+
+
+def _tile_plan(shape, max_k, mode):
+    """Leading-axis tile sizes under the 16MB scoped-VMEM budget, or None.
+
+    ``mode='dec'`` holds 1 halo'd input tile and fans out to 2^d band
+    tiles; ``mode='rec'`` holds 2^d halo'd band tiles and collapses to 1 —
+    its input dominates, so its tiles must be much smaller. The stage-sum
+    estimate below tracked the Mosaic scoped-vmem accounting within ~1% in
+    practice (a 27.29M estimate OOM'd against the 16M limit at exactly the
+    predicted size).
+    """
     ndim = len(shape)
     if ndim not in (2, 3):
         return None
     if shape[-1] % 128:
         return None
+    budget = 13 * 1024 * 1024 // 4  # f32 words, vs the 16MB scoped limit
     if ndim == 2:
+        n = shape[-1]
         for tx in (256, 128, 64, 32, 16, 8):
-            if shape[0] % tx == 0:
-                words = (
-                    (tx + max_k - 1) * shape[-1]  # input tile
-                    + 2 * tx * shape[-1] * 2  # pass outputs (some slack)
-                )
-                if words <= 6 * 1024 * 1024 // 4:
-                    return (tx,)
+            if shape[0] % tx:
+                continue
+            ext = _round8(tx + max_k - 1)
+            if mode == "dec":
+                words = ext * n + 2 * ext * n + 4 * tx * n
+            else:
+                words = 4 * ext * n + 2 * ext * n + tx * n
+            if words <= budget:
+                return (tx,)
         return None
     z = shape[-1]
     for tx, ty in ((8, 64), (8, 32), (8, 16), (8, 8)):
         if shape[0] % tx or shape[1] % ty:
             continue
-        words = (
-            (tx + max_k - 1) * (ty + max_k - 1) * z
-            + 2 * (tx + max_k - 1) * (ty + max_k - 1) * z
-            + 4 * (tx + max_k - 1) * ty * z
-            + 8 * tx * ty * z
-        )
-        if words <= 10 * 1024 * 1024 // 4:
+        ex = _round8(tx + max_k - 1)
+        ey = _round8(ty + max_k - 1)
+        if mode == "dec":
+            words = ex * ey * z + 2 * ex * ey * z + 4 * ex * ty * z + 8 * tx * ty * z
+        else:
+            words = 8 * ex * ey * z + 4 * ex * ey * z + 2 * ex * ty * z + tx * ty * z
+        if words <= budget:
             return (tx, ty)
     return None
 
@@ -170,21 +188,25 @@ def _fused_dec_level(x, taps_np):
     shape = x.shape
     nb = 2**ndim
     max_k = max(t.shape[1] for t in taps_np)
-    tiles = _tile_plan(shape, max_k)
+    tiles = _tile_plan(shape, max_k, "dec")
     if tiles is None:
         return None
 
     pads = []
+    exts = []
     for ax in range(ndim - 1):
         K = taps_np[ax].shape[1]
         o = K // 2 - 1
-        pads.append((o, K - 1 - o))
+        ext = tiles[ax] + K - 1
+        ext8 = _round8(ext)
+        exts.append(ext8)
+        # Right-pad past the halo up to the rounded DMA extent; the kernel's
+        # slices never touch the surplus rows.
+        pads.append((o, K - 1 - o + (ext8 - ext)))
     xp = _circ_pad_axes(x, pads)
 
     grid = tuple(shape[ax] // tiles[ax] for ax in range(ndim - 1))
-    in_tile = tuple(
-        tiles[ax] + taps_np[ax].shape[1] - 1 for ax in range(ndim - 1)
-    ) + (shape[-1],)
+    in_tile = tuple(exts) + (shape[-1],)
 
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, taps_np),
@@ -212,7 +234,7 @@ def dec_pallas(x, taps, level: int):
     """
     taps_np = tuple(np.asarray(t) for t in taps)
     if not _supported(x.shape, x.dtype) or _tile_plan(
-        x.shape, max(t.shape[1] for t in taps_np)
+        x.shape, max(t.shape[1] for t in taps_np), "dec"
     ) is None:
         return direct_path.dec_direct(x, taps, level)
     groups = []
@@ -283,21 +305,23 @@ def _fused_rec_level(y, taps_np):
     shape = y.shape[1:]
     ndim = len(shape)
     max_k = max(t.shape[1] for t in taps_np)
-    tiles = _tile_plan(shape, max_k)
+    tiles = _tile_plan(shape, max_k, "rec")
     if tiles is None:
         return None
 
     pads = [(0, 0)]  # band axis
+    exts = []
     for ax in range(ndim - 1):
         K = taps_np[ax].shape[1]
         o = K // 2 - 1
-        pads.append((K - 1 - o, o))  # adjoint halo is mirrored
+        ext = tiles[ax] + K - 1
+        ext8 = _round8(ext)
+        exts.append(ext8)
+        pads.append((K - 1 - o, o + (ext8 - ext)))  # adjoint halo is mirrored
     yp = _circ_pad_axes(y, pads)
 
     grid = tuple(shape[ax] // tiles[ax] for ax in range(ndim - 1))
-    in_tile = (nb,) + tuple(
-        tiles[ax] + taps_np[ax].shape[1] - 1 for ax in range(ndim - 1)
-    ) + (shape[-1],)
+    in_tile = (nb,) + tuple(exts) + (shape[-1],)
 
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, taps_np),
@@ -325,7 +349,7 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
     ndim = y.ndim - 1
     shape = y.shape[1:]
     if not _supported(shape, y.dtype) or _tile_plan(
-        shape, max(t.shape[1] for t in taps_np)
+        shape, max(t.shape[1] for t in taps_np), "rec"
     ) is None:
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim
