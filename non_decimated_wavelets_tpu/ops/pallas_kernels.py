@@ -59,17 +59,19 @@ def _tile_plan(shape, max_k, mode):
 
     ``mode='dec'`` holds 1 halo'd input tile and fans out to 2^d band
     tiles; ``mode='rec'`` holds 2^d halo'd band tiles and collapses to 1 —
-    its input dominates, so its tiles must be much smaller. The stage-sum
-    estimate below tracked the Mosaic scoped-vmem accounting within ~1% in
-    practice (a 27.29M estimate OOM'd against the 16M limit at exactly the
-    predicted size).
+    its input dominates, so its tiles must be much smaller. Mosaic's
+    scoped-vmem accounting runs ~1.6x this stage-sum estimate (measured:
+    a 16.7MB estimate compiled to a 27.29M scoped allocation against the
+    16M limit), so the budget below is set to ~8MB of estimated live words.
     """
     ndim = len(shape)
     if ndim not in (2, 3):
         return None
     if shape[-1] % 128:
         return None
-    budget = 13 * 1024 * 1024 // 4  # f32 words, vs the 16MB scoped limit
+    # Measured Mosaic-scoped/estimate ratio ~2.4x (a 1.7M-word estimate
+    # compiled to a 16.22M scoped allocation); keep estimates <=1.2M words.
+    budget = 1_200_000  # f32 words
     if ndim == 2:
         n = shape[-1]
         for tx in (256, 128, 64, 32, 16, 8):

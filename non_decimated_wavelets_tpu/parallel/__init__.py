@@ -1,3 +1,4 @@
 from .sharded import ShardedNDDWT, make_mesh
+from .sharded_fft import ShardedFFTNDDWT
 
-__all__ = ["ShardedNDDWT", "make_mesh"]
+__all__ = ["ShardedNDDWT", "ShardedFFTNDDWT", "make_mesh"]

@@ -162,14 +162,15 @@ class NDDWT:
         is_complex = jnp.iscomplexobj(x)
         x = x.astype(self.complex_dtype if is_complex else self.real_dtype)
         path = self._resolve_path(is_complex)
-        if path == "fft":
-            y = fft_path.dec_fft(x, self.resp, level, real_out=not is_complex)
-        elif path == "pallas":
-            from .ops import pallas_kernels
+        with jax.named_scope(f"nddwt.dec.{path}.L{level}"):
+            if path == "fft":
+                y = fft_path.dec_fft(x, self.resp, level, real_out=not is_complex)
+            elif path == "pallas":
+                from .ops import pallas_kernels
 
-            y = pallas_kernels.dec_pallas(x, self.taps, level)
-        else:
-            y = direct_path.dec_direct(x, self.taps, level)
+                y = pallas_kernels.dec_pallas(x, self.taps, level)
+            else:
+                y = direct_path.dec_direct(x, self.taps, level)
         if band_axis in (-1, y.ndim - 1):
             y = jnp.moveaxis(y, 0, -1)
         elif band_axis != 0:
@@ -198,16 +199,17 @@ class NDDWT:
         is_complex = jnp.iscomplexobj(y)
         y = y.astype(self.complex_dtype if is_complex else self.real_dtype)
         path = self._resolve_path(is_complex)
-        if path == "fft":
-            x = fft_path.rec_fft(
-                y, self.resp, level, self.preserve_l2, real_out=not is_complex
-            )
-        elif path == "pallas":
-            from .ops import pallas_kernels
+        with jax.named_scope(f"nddwt.rec.{path}.L{level}"):
+            if path == "fft":
+                x = fft_path.rec_fft(
+                    y, self.resp, level, self.preserve_l2, real_out=not is_complex
+                )
+            elif path == "pallas":
+                from .ops import pallas_kernels
 
-            x = pallas_kernels.rec_pallas(y, self.taps, level, self.preserve_l2)
-        else:
-            x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
+                x = pallas_kernels.rec_pallas(y, self.taps, level, self.preserve_l2)
+            else:
+                x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
         return x
 
     # ------------------------------------------------------------ convenience

@@ -86,3 +86,41 @@ def test_validation_errors():
         ShardedNDDWT(plan2, mesh, ("x", None))
     with pytest.raises(ValueError):
         ShardedNDDWT(plan, mesh, ("x",))  # wrong spec arity
+
+
+# --------------------------------------------------------------------------
+# Pencil FFT-path sharding (all_to_all resharding; SURVEY §5 regime (b)).
+# --------------------------------------------------------------------------
+from non_decimated_wavelets_tpu.parallel import ShardedFFTNDDWT
+
+
+@pytest.mark.parametrize(
+    "shape,wv,lvl,pl2",
+    [
+        ((32, 24), ("db2", "db3"), 2, False),
+        ((16, 16, 12), "db2", 2, True),
+        ((24, 8, 6, 6), "db1", 2, False),
+    ],
+)
+def test_pencil_fft_matches_oracle(shape, wv, lvl, pl2, rng):
+    _skip_if_few_devices(4)
+    mesh = make_mesh({"x": 4})
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype="double")
+    sh = ShardedFFTNDDWT(plan, mesh, "x")
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    y = sh.dec(sh.shard_input(jnp.asarray(x)), lvl)
+    gold = np.moveaxis(oracle.dec(x, wv, lvl, preserve_l2=pl2), -1, 0)
+    np.testing.assert_allclose(np.asarray(y), gold, atol=1e-12)
+    xr = sh.rec(y)
+    np.testing.assert_allclose(np.asarray(xr), x, atol=1e-12)
+
+
+def test_pencil_fft_validation():
+    _skip_if_few_devices(8)
+    mesh = make_mesh({"x": 8})
+    plan = nw.NDDWT(wavelet="db2", shape=(30, 16), dtype="double")
+    with pytest.raises(ValueError):
+        ShardedFFTNDDWT(plan, mesh, "x")  # 30 % 8 != 0
+    plan1 = nw.NDDWT(wavelet="db2", shape=(64,), dtype="double")
+    with pytest.raises(ValueError):
+        ShardedFFTNDDWT(plan1, mesh, "x")  # ndim < 2
