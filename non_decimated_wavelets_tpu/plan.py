@@ -142,6 +142,20 @@ class NDDWT:
         # filters the direct path is the bandwidth winner anyway.
         if self.real_dtype == jnp.dtype(jnp.float64):
             return "direct"
+        # On real accelerators the fused Pallas level kernels are ~3x the
+        # XLA direct path (measured 62ms vs 200ms per 256^3 db4 L3 pair);
+        # use them whenever the shape/dtype tiles. Interpreter-mode Pallas
+        # on CPU is only for tests, so CPU stays on the XLA paths.
+        if not is_complex and jax.default_backend() != "cpu":
+            from .ops import pallas_kernels
+
+            max_k = max(self.filter_lengths)
+            if (
+                pallas_kernels._supported(self.shape, self.real_dtype)
+                and pallas_kernels._tile_plan(self.shape, max_k, "dec") is not None
+                and pallas_kernels._tile_plan(self.shape, max_k, "rec") is not None
+            ):
+                return "pallas"
         if max(self.filter_lengths) <= 12:
             return "direct"
         return "fft"
