@@ -200,12 +200,24 @@ class nd_dwt_3D(_NdDwtBase):
 class nd_dwt_4D(_NdDwtBase):
     """4D NDDWT (reference: ``Functions/nd_dwt_4D.m``); 16 bands/level.
 
-    The reference's 4D-only ``method='conv'`` option is vestigial/broken
-    (1D ``cconv`` applied to 4D arrays, ``Functions/nd_dwt_4D.m:427-442``);
-    here the equivalent working spatial-domain path is ``path='direct'``.
+    The reference's 4D-only ``method`` option (``'fft'|'conv'``,
+    ``Functions/nd_dwt_4D.m:97,111-112``) is accepted: ``'fft'`` maps to the
+    FFT path, ``'conv'`` to the working spatial-domain direct path (the
+    reference's ``'conv'`` branch is vestigial/broken — 1D ``cconv`` applied
+    to 4D arrays, ``Functions/nd_dwt_4D.m:427-442``).
     """
 
     _NDIM = 4
+
+    def __init__(self, wname, sizes, **options):
+        method = str(options.pop("method", "")).lower()
+        if method == "conv":
+            options.setdefault("path", "direct")
+        elif method == "fft":
+            options.setdefault("path", "fft")
+        elif method:
+            raise ValueError(f"Unknown method {method!r}: expected 'fft' or 'conv'")
+        super().__init__(wname, sizes, **options)
 
 
 class harr_nddwt_2D(_NdDwtBase):

@@ -135,7 +135,9 @@ def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
     for j in range(K):
         if use_roll:
             shift = (o - j) % v.shape[axis]
-            r = pltpu.roll(v, shift, axis=axis) if shift else v
+            # np.int32: under jax_enable_x64 a Python int lowers to i64,
+            # which tpu.dynamic_rotate rejects.
+            r = pltpu.roll(v, np.int32(shift), axis=axis) if shift else v
         else:
             idx = [slice(None)] * v.ndim
             idx[axis] = slice(j, j + out_extent)
@@ -216,7 +218,9 @@ def _fused_dec_level(x, taps_np):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             (nb,) + tuple(tiles) + (shape[-1],),
-            lambda *gi: (0,) + gi + (0,),
+            # np.int32 literals: Python ints lower to i64 under
+            # jax_enable_x64, which Mosaic's index maps reject.
+            lambda *gi: (np.int32(0),) + gi + (np.int32(0),),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((nb,) + shape, x.dtype),
@@ -286,8 +290,16 @@ def _make_rec_kernel(ndim, tiles, taps_np_tuple):
                 for j in range(K):
                     if use_roll:
                         shift = (o_adj - j) % lo_v.shape[ax]
-                        rl = pltpu.roll(lo_v, shift, axis=ax) if shift else lo_v
-                        rh = pltpu.roll(hi_v, shift, axis=ax) if shift else hi_v
+                        rl = (
+                            pltpu.roll(lo_v, np.int32(shift), axis=ax)
+                            if shift
+                            else lo_v
+                        )
+                        rh = (
+                            pltpu.roll(hi_v, np.int32(shift), axis=ax)
+                            if shift
+                            else hi_v
+                        )
                     else:
                         idx2 = [slice(None)] * lo_v.ndim
                         idx2[ax] = slice(j, j + ext)
@@ -331,7 +343,7 @@ def _fused_rec_level(y, taps_np):
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
             tuple(tiles) + (shape[-1],),
-            lambda *gi: gi + (0,),
+            lambda *gi: gi + (np.int32(0),),
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct(shape, y.dtype),
