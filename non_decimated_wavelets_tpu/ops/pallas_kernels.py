@@ -74,19 +74,23 @@ def _tile_plan(shape, max_k, mode):
     budget = 1_200_000  # f32 words
     if ndim == 2:
         n = shape[-1]
-        for tx in (256, 128, 64, 32, 16, 8):
+        for tx in (512, 256, 128, 64, 32, 16, 8):
             if shape[0] % tx:
                 continue
             ext = _round8(tx + max_k - 1)
             if mode == "dec":
                 words = ext * n + 2 * ext * n + 4 * tx * n
             else:
-                words = 4 * ext * n + 2 * ext * n + tx * n
+                # streaming rec: 2 DMA buffers + 1 pass temp + acc + out
+                words = 2 * ext * n + ext * n + 2 * tx * n
             if words <= budget:
                 return (tx,)
         return None
     z = shape[-1]
-    for tx, ty in ((8, 64), (8, 32), (8, 16), (8, 8)):
+    for tx, ty in (
+        (32, 128), (16, 128), (32, 64), (16, 64), (8, 64),
+        (8, 32), (8, 16), (8, 8),
+    ):
         if shape[0] % tx or shape[1] % ty:
             continue
         ex = _round8(tx + max_k - 1)
@@ -94,7 +98,9 @@ def _tile_plan(shape, max_k, mode):
         if mode == "dec":
             words = ex * ey * z + 2 * ex * ey * z + 4 * ex * ty * z + 8 * tx * ty * z
         else:
-            words = 8 * ex * ey * z + 4 * ex * ey * z + 2 * ex * ty * z + tx * ty * z
+            # streaming rec: 2 DMA buffers + z-pass temp + y-pass temp +
+            # contribution + accumulator
+            words = 2 * ex * ey * z + ex * ey * z + ex * ty * z + 2 * tx * ty * z
         if words <= budget:
             return (tx, ty)
     return None
@@ -260,56 +266,125 @@ def dec_pallas(x, taps, level: int):
 # ---------------------------------------------------------------------------
 
 
-def _make_rec_kernel(ndim, tiles, taps_np_tuple):
+def _rec_tiles(shape, taps_np):
+    """Tile choice for the streaming rec kernel (larger than the tree
+    kernel's — only one band tile is resident at a time)."""
+    ndim = len(shape)
+    if shape[-1] % 128:
+        return None
+    if ndim == 2:
+        for tx in (512, 256, 128, 64, 32, 16):
+            if shape[0] % tx == 0:
+                return (tx,)
+        return None
+    for tx, ty in ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8)):
+        if shape[0] % tx == 0 and shape[1] % ty == 0:
+            # live words ~ 2 bufs + chain temp + acc; keep under ~10MB
+            W = max(_round8(t.shape[1] // 2) for t in taps_np)
+            ex0, ex1 = tx + 2 * W, ty + 2 * W
+            z = shape[-1]
+            live = 2 * ex0 * ex1 * z + ex0 * ex1 * z + 2 * tx * ty * z
+            if live <= 2_600_000:
+                return (tx, ty)
+    return None
+
+
+def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
+    """Streaming synthesis kernel: one band tile in flight (double-buffered
+    9-segment wrap DMA straight from the unpadded band array), contributions
+    accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
+    the L/C/R segment loads (all extents static multiples of 8, the
+    empirically required DMA granularity)."""
     nb = 2**ndim
+    n_lead = ndim - 1
+    Ws = tuple(_round8(taps_np_tuple[ax].shape[1] // 2) for ax in range(n_lead))
 
-    def kernel(y_hbm, out_ref, in_vmem, sem):
-        idx = (slice(None),) + tuple(
-            pl.ds(pl.program_id(ax) * tiles[ax], in_vmem.shape[ax + 1])
-            for ax in range(ndim - 1)
-        ) + (slice(None),)
-        dma = pltpu.make_async_copy(y_hbm.at[idx], in_vmem, sem)
-        dma.start()
-        dma.wait()
+    def kernel(y_hbm, out_ref, bufs, sems):
+        grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
-        # vals indexed by engine band order (bit k = axis k, bit0 fastest);
-        # collapse the MSB (axis ndim-1) first, mirroring the dec kernel.
-        vals = [in_vmem[b] for b in range(nb)]
-        for ax in reversed(range(ndim)):
-            taps_rev = taps_np_tuple[ax][:, ::-1]
-            K = taps_rev.shape[1]
-            o_adj = K - 1 - (K // 2 - 1)  # = K//2, the adjoint anchor
-            use_roll = ax == ndim - 1
-            ext = None if use_roll else tiles[ax]
-            half = len(vals) // 2
-            new_vals = []
-            for i in range(half):
-                lo_v, hi_v = vals[i], vals[i + half]
-                pair_taps = np.stack([taps_rev[0], taps_rev[1]])
-                acc = None
+        def seg_copies(b, slot):
+            # L/C/R segments per leading axis; cross product = rectangles.
+            per_axis = []
+            for ax in range(n_lead):
+                N = shape_sp[ax]
+                t = tiles[ax]
+                W = Ws[ax]
+                i = grid_ids[ax]
+                # np.int32 everywhere: x64 mode must not promote to i64.
+                # pl.multiple_of: Mosaic must be able to prove sublane
+                # alignment of the dynamic wrap starts.
+                base = i * np.int32(t)
+                sL = pl.multiple_of(
+                    jax.lax.rem(base + np.int32(N - W), np.int32(N)), 8
+                )
+                sC = pl.multiple_of(base, 8)
+                sR = pl.multiple_of(
+                    jax.lax.rem(base + np.int32(t), np.int32(N)), 8
+                )
+                per_axis.append([(sL, 0, W), (sC, W, t), (sR, W + t, W)])
+            combos = [[]]
+            for segs in per_axis:
+                combos = [c + [s] for c in combos for s in segs]
+            copies = []
+            for combo in combos:
+                # np.int32 scalar indices: Python ints lower to i64 under
+                # jax_enable_x64, which tpu.memref_slice rejects.
+                src = (np.int32(b),) + tuple(
+                    pl.ds(s, e) for s, _, e in combo
+                ) + (slice(None),)
+                dst = (np.int32(slot),) + tuple(
+                    slice(off, off + e) for _, off, e in combo
+                ) + (slice(None),)
+                copies.append(
+                    pltpu.make_async_copy(
+                        y_hbm.at[src], bufs.at[dst], sems.at[np.int32(slot)]
+                    )
+                )
+            return copies
+
+        for c in seg_copies(0, 0):
+            c.start()
+        acc = None
+        for b in range(nb):
+            slot = b % 2
+            if b + 1 < nb:
+                for c in seg_copies(b + 1, (b + 1) % 2):
+                    c.start()
+            for c in seg_copies(b, slot):
+                c.wait()
+            v = bufs[np.int32(slot)]
+            # Separable adjoint of this band: leading axes first so the
+            # working extents shrink before the lane-roll pass (lower peak
+            # VMEM liveness). The over-wide W-halo is absorbed into the
+            # slice starts (no trimming copy: every live VMEM value counts
+            # against the 16MB scoped limit).
+            for ax in range(ndim):
+                sel = (b >> ax) & 1
+                trow = taps_np_tuple[ax][sel][::-1]
+                K = len(trow)
+                o_adj = K // 2
+                a2 = None
                 for j in range(K):
-                    if use_roll:
-                        shift = (o_adj - j) % lo_v.shape[ax]
-                        rl = (
-                            pltpu.roll(lo_v, np.int32(shift), axis=ax)
+                    if ax == ndim - 1:
+                        shift = (o_adj - j) % v.shape[-1]
+                        r = (
+                            pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
                             if shift
-                            else lo_v
-                        )
-                        rh = (
-                            pltpu.roll(hi_v, np.int32(shift), axis=ax)
-                            if shift
-                            else hi_v
+                            else v
                         )
                     else:
-                        idx2 = [slice(None)] * lo_v.ndim
-                        idx2[ax] = slice(j, j + ext)
-                        rl = lo_v[tuple(idx2)]
-                        rh = hi_v[tuple(idx2)]
-                    term = float(pair_taps[0, j]) * rl + float(pair_taps[1, j]) * rh
-                    acc = term if acc is None else acc + term
-                new_vals.append(acc)
-            vals = new_vals
-        out_ref[...] = vals[0]
+                        # slice start: W-h_l skips the surplus halo rows
+                        # (h_l = K-1-o = K//2 for the adjoint anchor).
+                        h_l = K // 2
+                        start = Ws[ax] - h_l + j
+                        idx2 = [slice(None)] * v.ndim
+                        idx2[ax] = slice(start, start + tiles[ax])
+                        r = v[tuple(idx2)]
+                    term = float(trow[j]) * r
+                    a2 = term if a2 is None else a2 + term
+                v = a2
+            acc = v if acc is None else acc + v
+        out_ref[...] = acc
 
     return kernel
 
@@ -318,27 +393,19 @@ def _fused_rec_level(y, taps_np):
     nb = y.shape[0]
     shape = y.shape[1:]
     ndim = len(shape)
-    max_k = max(t.shape[1] for t in taps_np)
-    tiles = _tile_plan(shape, max_k, "rec")
+    tiles = _rec_tiles(shape, taps_np)
     if tiles is None:
         return None
 
-    pads = [(0, 0)]  # band axis
-    exts = []
-    for ax in range(ndim - 1):
-        K = taps_np[ax].shape[1]
-        o = K // 2 - 1
-        ext = tiles[ax] + K - 1
-        ext8 = _round8(ext)
-        exts.append(ext8)
-        pads.append((K - 1 - o, o + (ext8 - ext)))  # adjoint halo is mirrored
-    yp = _circ_pad_axes(y, pads)
-
-    grid = tuple(shape[ax] // tiles[ax] for ax in range(ndim - 1))
-    in_tile = (nb,) + tuple(exts) + (shape[-1],)
+    n_lead = ndim - 1
+    Ws = tuple(_round8(taps_np[ax].shape[1] // 2) for ax in range(n_lead))
+    grid = tuple(shape[ax] // tiles[ax] for ax in range(n_lead))
+    buf_tile = (2,) + tuple(
+        tiles[ax] + 2 * Ws[ax] for ax in range(n_lead)
+    ) + (shape[-1],)
 
     return pl.pallas_call(
-        _make_rec_kernel(ndim, tiles, taps_np),
+        _make_rec_kernel(ndim, tiles, shape, taps_np),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(
@@ -348,10 +415,10 @@ def _fused_rec_level(y, taps_np):
         ),
         out_shape=jax.ShapeDtypeStruct(shape, y.dtype),
         scratch_shapes=[
-            pltpu.VMEM(in_tile, y.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(buf_tile, y.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(yp)
+    )(y)
 
 
 def rec_pallas(y, taps, level: int, preserve_l2: bool):
@@ -362,9 +429,7 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
     taps_np = tuple(np.asarray(t) for t in taps)
     ndim = y.ndim - 1
     shape = y.shape[1:]
-    if not _supported(shape, y.dtype) or _tile_plan(
-        shape, max(t.shape[1] for t in taps_np), "rec"
-    ) is None:
+    if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim
 

@@ -1,0 +1,96 @@
+"""Multi-host runtime glue.
+
+The reference is strictly single-process (SURVEY §5: no NCCL/MPI/Gloo —
+only FFTW threads). The TPU-native scaling story is ``jax.distributed``
+over ICI within a slice and DCN across hosts. This module packages the
+bootstrap, global-mesh construction, per-host data placement, and the
+fail-fast mesh-desynchronization check the multi-host benchmark runner
+needs (SURVEY §5 "failure detection").
+
+All functions degrade gracefully to single-process operation so the same
+driver script runs on one chip, one host, or N hosts.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(coordinator_address: str | None = None, num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Initialize the distributed runtime (no-op if single-process).
+
+    With no arguments, relies on the standard cluster env detection of
+    ``jax.distributed.initialize`` (TPU pods auto-detect).
+    """
+    if num_processes is not None and num_processes <= 1:
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except (RuntimeError, ValueError):
+        # Already initialized, or single-process environment.
+        pass
+
+
+def global_mesh(axis_sizes: dict) -> Mesh:
+    """Build a mesh over ALL devices (across hosts), axes as given.
+
+    The product of axis sizes must equal ``jax.device_count()`` (global).
+    """
+    names = tuple(axis_sizes)
+    sizes = tuple(axis_sizes[n] for n in names)
+    total = int(np.prod(sizes))
+    if total != jax.device_count():
+        raise ValueError(
+            f"mesh {dict(axis_sizes)} needs {total} devices, global count is "
+            f"{jax.device_count()}"
+        )
+    arr = np.array(jax.devices()).reshape(sizes)
+    return Mesh(arr, names)
+
+
+def host_local_array(global_shape, mesh: Mesh, spec: P, fill_fn):
+    """Assemble a globally-sharded array from per-host local data.
+
+    ``fill_fn(local_index_tuple) -> np.ndarray`` produces each local shard
+    (so hosts only materialize their own slice — required for arrays that
+    don't fit one host, e.g. the 512^3 x 64 multi-host config).
+    """
+    sharding = NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(
+        tuple(global_shape), sharding, lambda idx: fill_fn(idx)
+    )
+
+
+def assert_mesh_synchronized(mesh: Mesh, tol: float = 0.0) -> None:
+    """Fail fast if hosts disagree on mesh content (desynchronized pod).
+
+    Runs a tiny psum of the process index over the mesh: every device must
+    observe the same total. Raises RuntimeError on mismatch.
+    """
+    import jax.numpy as jnp
+
+    n = int(np.prod(list(mesh.shape.values())))
+    x = jnp.ones((n,), jnp.float32)
+    first = mesh.axis_names[0]
+
+    def body(v):
+        return jax.lax.psum(v, axis_name=mesh.axis_names)
+
+    spec = P(first)
+    total = jax.jit(
+        jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    )(jax.device_put(x, NamedSharding(mesh, spec)))
+    expect = float(n)
+    got = float(np.asarray(total)[0])
+    if abs(got - expect) > tol:
+        raise RuntimeError(
+            f"mesh desynchronized: psum observed {got}, expected {expect}"
+        )

@@ -150,10 +150,11 @@ class NDDWT:
             from .ops import pallas_kernels
 
             max_k = max(self.filter_lengths)
+            taps_np = tuple(np.asarray(t) for t in self.taps)
             if (
                 pallas_kernels._supported(self.shape, self.real_dtype)
                 and pallas_kernels._tile_plan(self.shape, max_k, "dec") is not None
-                and pallas_kernels._tile_plan(self.shape, max_k, "rec") is not None
+                and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
             ):
                 return "pallas"
         if max(self.filter_lengths) <= 12:
@@ -229,3 +230,25 @@ class NDDWT:
     # ------------------------------------------------------------ convenience
     def num_bands(self, level: int) -> int:
         return _oracle.num_bands(self.ndim, level)
+
+    # The reference's only persistent state is the in-memory filter cache,
+    # rebuilt on construction (``Functions/nd_dwt_1D.m:68``); likewise a
+    # plan round-trips through its five config fields.
+    def to_config(self) -> dict:
+        return {
+            "wavelet": list(self.wavelets),
+            "shape": list(self.shape),
+            "preserve_l2": bool(self.preserve_l2),
+            "dtype": str(jnp.dtype(self.real_dtype)),
+            "path": self.path,
+        }
+
+    @classmethod
+    def from_config(cls, cfg: dict) -> "NDDWT":
+        return cls(
+            wavelet=tuple(cfg["wavelet"]),
+            shape=tuple(cfg["shape"]),
+            preserve_l2=cfg.get("preserve_l2", False),
+            dtype=cfg.get("dtype", "float32"),
+            path=cfg.get("path", "auto"),
+        )
