@@ -280,8 +280,9 @@ def _rec_tiles(shape, taps_np):
     for tx, ty in ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8)):
         if shape[0] % tx == 0 and shape[1] % ty == 0:
             # live words ~ 2 bufs + chain temp + acc; keep under ~10MB
-            W = max(_round8(t.shape[1] // 2) for t in taps_np)
-            ex0, ex1 = tx + 2 * W, ty + 2 * W
+            K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+            ex0 = tx + K0 - 1  # outer axis: exact halo
+            ex1 = ty + 2 * _round8(K1 // 2)  # sublane axis: 8-aligned
             z = shape[-1]
             live = 2 * ex0 * ex1 * z + ex0 * ex1 * z + 2 * tx * ty * z
             if live <= 2_600_000:
@@ -297,7 +298,19 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
     empirically required DMA granularity)."""
     nb = 2**ndim
     n_lead = ndim - 1
-    Ws = tuple(_round8(taps_np_tuple[ax].shape[1] // 2) for ax in range(n_lead))
+    # Halo widths per leading axis. Only the sublane dimension (the last
+    # leading axis) requires 8-aligned DMA extents/starts (probed on v5e:
+    # odd sublane extents fail, outer-dim extents/starts are free), so
+    # outer axes use the exact adjoint halo.
+    halos = []
+    for ax in range(n_lead):
+        K = taps_np_tuple[ax].shape[1]
+        h_l, h_r = K // 2, K // 2 - 1  # adjoint halo
+        if ax == n_lead - 1:
+            W = _round8(max(h_l, h_r))
+            halos.append((W, W, True))
+        else:
+            halos.append((h_l, h_r, False))
 
     def kernel(y_hbm, out_ref, bufs, sems):
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
@@ -308,20 +321,22 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
             for ax in range(n_lead):
                 N = shape_sp[ax]
                 t = tiles[ax]
-                W = Ws[ax]
+                w_l, w_r, aligned = halos[ax]
                 i = grid_ids[ax]
                 # np.int32 everywhere: x64 mode must not promote to i64.
-                # pl.multiple_of: Mosaic must be able to prove sublane
-                # alignment of the dynamic wrap starts.
                 base = i * np.int32(t)
-                sL = pl.multiple_of(
-                    jax.lax.rem(base + np.int32(N - W), np.int32(N)), 8
-                )
-                sC = pl.multiple_of(base, 8)
-                sR = pl.multiple_of(
-                    jax.lax.rem(base + np.int32(t), np.int32(N)), 8
-                )
-                per_axis.append([(sL, 0, W), (sC, W, t), (sR, W + t, W)])
+                sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
+                sC = base
+                sR = jax.lax.rem(base + np.int32(t), np.int32(N))
+                if aligned:
+                    # pl.multiple_of: Mosaic must prove sublane alignment
+                    # of the dynamic wrap starts.
+                    sL = pl.multiple_of(sL, 8)
+                    sC = pl.multiple_of(sC, 8)
+                    sR = pl.multiple_of(sR, 8)
+                segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
+                # db1's adjoint right halo is zero — drop empty segments.
+                per_axis.append([s for s in segs if s[2] > 0])
             combos = [[]]
             for segs in per_axis:
                 combos = [c + [s] for c in combos for s in segs]
@@ -373,10 +388,11 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
                             else v
                         )
                     else:
-                        # slice start: W-h_l skips the surplus halo rows
-                        # (h_l = K-1-o = K//2 for the adjoint anchor).
+                        # slice start: w_l - h_l skips surplus halo rows
+                        # (h_l = K-1-o = K//2 for the adjoint anchor; zero
+                        # surplus on outer axes).
                         h_l = K // 2
-                        start = Ws[ax] - h_l + j
+                        start = halos[ax][0] - h_l + j
                         idx2 = [slice(None)] * v.ndim
                         idx2[ax] = slice(start, start + tiles[ax])
                         r = v[tuple(idx2)]
@@ -398,11 +414,16 @@ def _fused_rec_level(y, taps_np):
         return None
 
     n_lead = ndim - 1
-    Ws = tuple(_round8(taps_np[ax].shape[1] // 2) for ax in range(n_lead))
     grid = tuple(shape[ax] // tiles[ax] for ax in range(n_lead))
-    buf_tile = (2,) + tuple(
-        tiles[ax] + 2 * Ws[ax] for ax in range(n_lead)
-    ) + (shape[-1],)
+    buf_rows = []
+    for ax in range(n_lead):
+        K = taps_np[ax].shape[1]
+        if ax == n_lead - 1:
+            W = _round8(max(K // 2, K // 2 - 1))
+            buf_rows.append(tiles[ax] + 2 * W)
+        else:
+            buf_rows.append(tiles[ax] + K - 1)
+    buf_tile = (2,) + tuple(buf_rows) + (shape[-1],)
 
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, shape, taps_np),
