@@ -54,79 +54,11 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
-def _tile_plan(shape, max_k, mode):
-    """Leading-axis tile sizes under the 16MB scoped-VMEM budget, or None.
-
-    ``mode='dec'`` holds 1 halo'd input tile and fans out to 2^d band
-    tiles; ``mode='rec'`` holds 2^d halo'd band tiles and collapses to 1 —
-    its input dominates, so its tiles must be much smaller. Mosaic's
-    scoped-vmem accounting runs ~1.6x this stage-sum estimate (measured:
-    a 16.7MB estimate compiled to a 27.29M scoped allocation against the
-    16M limit), so the budget below is set to ~8MB of estimated live words.
-    """
-    ndim = len(shape)
-    if ndim not in (2, 3):
-        return None
-    if shape[-1] % 128:
-        return None
-    # Measured Mosaic-scoped/estimate ratio ~2.4x (a 1.7M-word estimate
-    # compiled to a 16.22M scoped allocation); keep estimates <=1.2M words.
-    budget = 1_200_000  # f32 words
-    if ndim == 2:
-        n = shape[-1]
-        for tx in (512, 256, 128, 64, 32, 16, 8):
-            if shape[0] % tx:
-                continue
-            ext = _round8(tx + max_k - 1)
-            if mode == "dec":
-                words = ext * n + 2 * ext * n + 4 * tx * n
-            else:
-                # streaming rec: 2 DMA buffers + 1 pass temp + acc + out
-                words = 2 * ext * n + ext * n + 2 * tx * n
-            if words <= budget:
-                return (tx,)
-        return None
-    z = shape[-1]
-    for tx, ty in (
-        (32, 128), (16, 128), (32, 64), (16, 64), (8, 64),
-        (8, 32), (8, 16), (8, 8),
-    ):
-        if shape[0] % tx or shape[1] % ty:
-            continue
-        ex = _round8(tx + max_k - 1)
-        ey = _round8(ty + max_k - 1)
-        if mode == "dec":
-            words = ex * ey * z + 2 * ex * ey * z + 4 * ex * ty * z + 8 * tx * ty * z
-        else:
-            # streaming rec: 2 DMA buffers + z-pass temp + y-pass temp +
-            # contribution + accumulator
-            words = 2 * ex * ey * z + ex * ey * z + ex * ty * z + 2 * tx * ty * z
-        if words <= budget:
-            return (tx, ty)
-    return None
-
-
 def _supported(shape, dtype):
     return (
         len(shape) in (2, 3)
         and jnp.dtype(dtype) in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16))
     )
-
-
-def _circ_pad_axes(x, pads):
-    """Circularly pad axis ``ax`` of ``x`` by pads[ax] = (left, right)."""
-    for ax, (lw, rw) in enumerate(pads):
-        if not (lw or rw):
-            continue
-        n = x.shape[ax]
-        parts = []
-        if lw:
-            parts.append(jax.lax.slice_in_dim(x, n - lw, n, axis=ax))
-        parts.append(x)
-        if rw:
-            parts.append(jax.lax.slice_in_dim(x, 0, rw, axis=ax))
-        x = jnp.concatenate(parts, axis=ax)
-    return x
 
 
 def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
@@ -160,101 +92,199 @@ def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
 # ---------------------------------------------------------------------------
 
 
-def _make_dec_kernel(ndim, tiles, taps_np_tuple):
+def _dec_halos(ndim, taps_np_tuple):
+    """(w_l, w_r, aligned) per leading axis for the analysis anchor
+    (o = K//2 - 1 left, K//2 right); only the sublane axis needs 8-aligned
+    DMA extents (probed on v5e)."""
+    n_lead = ndim - 1
+    halos = []
+    for ax in range(n_lead):
+        K = taps_np_tuple[ax].shape[1]
+        h_l, h_r = K // 2 - 1, K // 2
+        if ax == n_lead - 1:
+            W = _round8(max(h_l, h_r))
+            halos.append((W, W, True))
+        else:
+            halos.append((h_l, h_r, False))
+    return halos
+
+
+def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
+                    band_idx=None, slot=None):
+    """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec)."""
+    per_axis = []
+    for ax in range(len(tiles)):
+        N = shape_sp[ax]
+        t = tiles[ax]
+        w_l, w_r, aligned = halos[ax]
+        i = grid_ids[ax]
+        base = i * np.int32(t)
+        sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
+        sC = base
+        sR = jax.lax.rem(base + np.int32(t), np.int32(N))
+        if aligned:
+            sL = pl.multiple_of(sL, 8)
+            sC = pl.multiple_of(sC, 8)
+            sR = pl.multiple_of(sR, 8)
+        segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
+        per_axis.append([s for s in segs if s[2] > 0])
+    combos = [[]]
+    for segs in per_axis:
+        combos = [c + [s] for c in combos for s in segs]
+    copies = []
+    for combo in combos:
+        spatial_src = tuple(pl.ds(s, e) for s, _, e in combo) + (slice(None),)
+        src = spatial_src if band_idx is None else (np.int32(band_idx),) + spatial_src
+        dst_sp = tuple(slice(off, off + e) for _, off, e in combo) + (
+            slice(None),
+        )
+        dst = dst_sp if slot is None else (np.int32(slot),) + dst_sp
+        copies.append(
+            pltpu.make_async_copy(src_ref.at[src], bufs_ref.at[dst], sem)
+        )
+    return copies
+
+
+def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
+    """Fused analysis level: one wrap-segment tile load, all 2^d bands.
+
+    Axes processed first->last, so the band list index IS the engine band
+    order (each pass appends its high half as the new MSB; axis 0 ends up
+    at bit 0). Outputs: details (bands 1..2^d-1) and the approximation."""
     nb = 2**ndim
+    n_lead = ndim - 1
+    halos = _dec_halos(ndim, taps_np_tuple)
 
-    def kernel(x_hbm, out_ref, in_vmem, sem):
-        idx = tuple(
-            pl.ds(pl.program_id(ax) * tiles[ax], in_vmem.shape[ax])
-            for ax in range(ndim - 1)
-        ) + (slice(None),)
-        dma = pltpu.make_async_copy(x_hbm.at[idx], in_vmem, sem)
-        dma.start()
-        dma.wait()
+    def kernel(x_hbm, det_ref, app_ref, buf, sem):
+        grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
+        copies = _seg_copies_one(
+            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids
+        )
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
 
-        vals = [in_vmem[...]]
-        for ax in reversed(range(ndim)):
+        vals = [buf[...]]
+        for ax in range(ndim):
             taps_np = taps_np_tuple[ax]
-            o = taps_np.shape[1] // 2 - 1
+            K = taps_np.shape[1]
+            o = K // 2 - 1
             use_roll = ax == ndim - 1
-            ext = None if use_roll else tiles[ax]
             new_lo, new_hi = [], []
             for v in vals:
-                lo, hi = _pass_pair(v, taps_np, ax, o, use_roll, ext)
+                if use_roll:
+                    lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None)
+                else:
+                    # leading axis: halo slices, start offset absorbs the
+                    # (aligned) surplus halo: w_l - h_l with h_l = K//2-1.
+                    w_l = halos[ax][0]
+                    start0 = w_l - (K // 2 - 1)
+                    acc_lo = acc_hi = None
+                    for j in range(K):
+                        idx = [slice(None)] * v.ndim
+                        idx[ax] = slice(start0 + j, start0 + j + tiles[ax])
+                        r = v[tuple(idx)]
+                        tl = float(taps_np[0, j]) * r
+                        th = float(taps_np[1, j]) * r
+                        acc_lo = tl if acc_lo is None else acc_lo + tl
+                        acc_hi = th if acc_hi is None else acc_hi + th
+                    lo, hi = acc_lo, acc_hi
                 new_lo.append(lo)
                 new_hi.append(hi)
-            vals = new_lo + new_hi  # newest axis bit = MSB of list index
-        for b in range(nb):
-            v = 0
-            for ax in range(ndim):
-                v |= ((b >> ax) & 1) << (ndim - 1 - ax)
-            out_ref[b] = vals[v]
+            vals = new_lo + new_hi  # newest axis bit = MSB: identity order
+        app_ref[...] = vals[0]
+        for b in range(1, nb):
+            det_ref[b - 1] = vals[b]
 
     return kernel
 
 
+def _dec_tiles(shape, taps_np):
+    ndim = len(shape)
+    if shape[-1] % 128:
+        return None
+    if ndim == 2:
+        for tx in (256, 128, 64, 32, 16, 8):
+            if shape[0] % tx == 0:
+                return (tx,)
+        return None
+    for tx, ty in ((16, 16), (8, 16), (8, 8)):
+        if shape[0] % tx == 0 and shape[1] % ty == 0:
+            K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+            ex0 = tx + K0 - 1
+            ex1 = ty + 2 * _round8(K1 // 2)
+            z = shape[-1]
+            # buf + two fan-out stages + 8 band values + out pipelining
+            live = ex0 * ex1 * z + 2 * tx * ex1 * z + 12 * tx * ty * z
+            if live <= 2_400_000:
+                return (tx, ty)
+    return None
+
+
 def _fused_dec_level(x, taps_np):
+    """One analysis level: (spatial) -> (details (2^d-1, s), approx (s))."""
     ndim = x.ndim
     shape = x.shape
     nb = 2**ndim
-    max_k = max(t.shape[1] for t in taps_np)
-    tiles = _tile_plan(shape, max_k, "dec")
+    tiles = _dec_tiles(shape, taps_np)
     if tiles is None:
         return None
 
-    pads = []
-    exts = []
-    for ax in range(ndim - 1):
-        K = taps_np[ax].shape[1]
-        o = K // 2 - 1
-        ext = tiles[ax] + K - 1
-        ext8 = _round8(ext)
-        exts.append(ext8)
-        # Right-pad past the halo up to the rounded DMA extent; the kernel's
-        # slices never touch the surplus rows.
-        pads.append((o, K - 1 - o + (ext8 - ext)))
-    xp = _circ_pad_axes(x, pads)
-
-    grid = tuple(shape[ax] // tiles[ax] for ax in range(ndim - 1))
-    in_tile = tuple(exts) + (shape[-1],)
+    n_lead = ndim - 1
+    halos = _dec_halos(ndim, taps_np)
+    grid = tuple(shape[ax] // tiles[ax] for ax in range(n_lead))
+    buf_tile = tuple(
+        tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
+    ) + (shape[-1],)
 
     return pl.pallas_call(
-        _make_dec_kernel(ndim, tiles, taps_np),
+        _make_dec_kernel(ndim, tiles, shape, taps_np),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (nb,) + tuple(tiles) + (shape[-1],),
-            # np.int32 literals: Python ints lower to i64 under
-            # jax_enable_x64, which Mosaic's index maps reject.
-            lambda *gi: (np.int32(0),) + gi + (np.int32(0),),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (nb - 1,) + tuple(tiles) + (shape[-1],),
+                lambda *gi: (np.int32(0),) + gi + (np.int32(0),),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                tuple(tiles) + (shape[-1],),
+                lambda *gi: gi + (np.int32(0),),
+                memory_space=pltpu.VMEM,
+            ),
         ),
-        out_shape=jax.ShapeDtypeStruct((nb,) + shape, x.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb - 1,) + shape, x.dtype),
+            jax.ShapeDtypeStruct(shape, x.dtype),
+        ),
         scratch_shapes=[
-            pltpu.VMEM(in_tile, x.dtype),
+            pltpu.VMEM(buf_tile, x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
-    )(xp)
+    )(x)
 
 
 def dec_pallas(x, taps, level: int):
     """Multilevel analysis via the fused level kernel; returns (B, *s).
+
+    Per level one pallas_call reads the running approximation once (wrap
+    segments, no XLA pre-pad) and emits the 2^d-1 detail bands plus the
+    next approximation; the only XLA data movement is the final band
+    concatenation.
 
     ``taps`` must be host NumPy arrays (they are baked into the kernel as
     constants). Falls back to the XLA direct path for unsupported
     shapes/dtypes. Not itself jitted — wrap the caller in ``jax.jit``.
     """
     taps_np = tuple(np.asarray(t) for t in taps)
-    if not _supported(x.shape, x.dtype) or _tile_plan(
-        x.shape, max(t.shape[1] for t in taps_np), "dec"
-    ) is None:
+    if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         return direct_path.dec_direct(x, taps, level)
     groups = []
     approx = x
     for _ in range(level):
-        bands = _fused_dec_level(approx, taps_np)
-        approx = bands[0]
-        groups.append(bands[1:])
+        details, approx = _fused_dec_level(approx, taps_np)
+        groups.append(details)
     parts = [approx[None]]
     for g in reversed(groups):
         parts.append(g)
@@ -284,20 +314,29 @@ def _rec_tiles(shape, taps_np):
             ex0 = tx + K0 - 1  # outer axis: exact halo
             ex1 = ty + 2 * _round8(K1 // 2)  # sublane axis: 8-aligned
             z = shape[-1]
-            live = 2 * ex0 * ex1 * z + ex0 * ex1 * z + 2 * tx * ty * z
-            if live <= 2_600_000:
+            live = 3 * ex0 * ex1 * z + ex0 * ex1 * z + 2 * tx * ty * z
+            if live <= 3_400_000:
                 return (tx, ty)
     return None
 
 
-def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
+def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
     the L/C/R segment loads (all extents static multiples of 8, the
-    empirically required DMA granularity)."""
+    empirically required DMA granularity).
+
+    ``band_src[b]`` is ``("y", idx)`` (band ``idx`` of the full band array)
+    or ``("a", 0)`` (the running approximation, a separate band-less input) —
+    this is how multilevel synthesis avoids materializing the per-level
+    ``[acc] + details`` group concatenation. ``scale`` (the reference's
+    ``/2^d`` per level, ``Functions/nd_dwt_3D.m:233-235``) is folded into
+    the accumulate, saving one full XLA pass per level."""
     nb = 2**ndim
     n_lead = ndim - 1
+    has_approx = any(kind == "a" for kind, _ in band_src)
+    NSLOT = 3  # prefetch depth: 2 stalls on the 27-DMA segment batches
     # Halo widths per leading axis. Only the sublane dimension (the last
     # leading axis) requires 8-aligned DMA extents/starts (probed on v5e:
     # odd sublane extents fail, outer-dim extents/starts are free), so
@@ -312,7 +351,12 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
         else:
             halos.append((h_l, h_r, False))
 
-    def kernel(y_hbm, out_ref, bufs, sems):
+    def kernel(*args):
+        if has_approx:
+            y_hbm, a_hbm, out_ref, bufs, sems = args
+        else:
+            y_hbm, out_ref, bufs, sems = args
+            a_hbm = None
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
         def seg_copies(b, slot):
@@ -340,30 +384,35 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
             combos = [[]]
             for segs in per_axis:
                 combos = [c + [s] for c in combos for s in segs]
+            kind, idx = band_src[b]
+            src_ref = a_hbm if kind == "a" else y_hbm
             copies = []
             for combo in combos:
                 # np.int32 scalar indices: Python ints lower to i64 under
                 # jax_enable_x64, which tpu.memref_slice rejects.
-                src = (np.int32(b),) + tuple(
-                    pl.ds(s, e) for s, _, e in combo
-                ) + (slice(None),)
+                spatial = tuple(pl.ds(s, e) for s, _, e in combo) + (
+                    slice(None),
+                )
+                src = spatial if kind == "a" else (np.int32(idx),) + spatial
                 dst = (np.int32(slot),) + tuple(
                     slice(off, off + e) for _, off, e in combo
                 ) + (slice(None),)
                 copies.append(
                     pltpu.make_async_copy(
-                        y_hbm.at[src], bufs.at[dst], sems.at[np.int32(slot)]
+                        src_ref.at[src], bufs.at[dst], sems.at[np.int32(slot)]
                     )
                 )
             return copies
 
-        for c in seg_copies(0, 0):
-            c.start()
+        for pre in range(min(NSLOT - 1, nb)):
+            for c in seg_copies(pre, pre % NSLOT):
+                c.start()
         acc = None
         for b in range(nb):
-            slot = b % 2
-            if b + 1 < nb:
-                for c in seg_copies(b + 1, (b + 1) % 2):
+            slot = b % NSLOT
+            nxt = b + NSLOT - 1
+            if nxt < nb:
+                for c in seg_copies(nxt, nxt % NSLOT):
                     c.start()
             for c in seg_copies(b, slot):
                 c.wait()
@@ -400,14 +449,15 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
                     a2 = term if a2 is None else a2 + term
                 v = a2
             acc = v if acc is None else acc + v
+        if scale != 1.0:
+            acc = acc * scale
         out_ref[...] = acc
 
     return kernel
 
 
-def _fused_rec_level(y, taps_np):
-    nb = y.shape[0]
-    shape = y.shape[1:]
+def _fused_rec_level(y_all, approx, band_src, taps_np, scale):
+    shape = y_all.shape[1:]
     ndim = len(shape)
     tiles = _rec_tiles(shape, taps_np)
     if tiles is None:
@@ -423,27 +473,32 @@ def _fused_rec_level(y, taps_np):
             buf_rows.append(tiles[ax] + 2 * W)
         else:
             buf_rows.append(tiles[ax] + K - 1)
-    buf_tile = (2,) + tuple(buf_rows) + (shape[-1],)
+    buf_tile = (3,) + tuple(buf_rows) + (shape[-1],)
 
+    operands = (y_all,) if approx is None else (y_all, approx)
     return pl.pallas_call(
-        _make_rec_kernel(ndim, tiles, shape, taps_np),
+        _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(
             tuple(tiles) + (shape[-1],),
             lambda *gi: gi + (np.int32(0),),
             memory_space=pltpu.VMEM,
         ),
-        out_shape=jax.ShapeDtypeStruct(shape, y.dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, y_all.dtype),
         scratch_shapes=[
-            pltpu.VMEM(buf_tile, y.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM(buf_tile, y_all.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
-    )(y)
+    )(*operands)
 
 
 def rec_pallas(y, taps, level: int, preserve_l2: bool):
     """Multilevel synthesis via the fused level kernel; input (B, *s).
+
+    Concat-free multilevel: each level's kernel streams band 0 from the
+    previous level's output array and the detail bands from the original
+    band array at a static offset, so no per-level group is materialized.
 
     ``taps`` must be host NumPy arrays (kernel constants); see
     :func:`dec_pallas`."""
@@ -453,17 +508,13 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
     if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim
+    scale = 1.0 if preserve_l2 else 1.0 / nb
 
-    def synth(group):
-        acc = _fused_rec_level(group, taps_np)
-        if not preserve_l2:
-            acc = acc / nb
-        return acc
-
-    acc = synth(y[:nb])
+    band_src = [("y", b) for b in range(nb)]
+    acc = _fused_rec_level(y, None, band_src, taps_np, scale)
     pos = nb
     for _ in range(1, level):
-        group = jnp.concatenate([acc[None], y[pos : pos + nb - 1]], axis=0)
-        acc = synth(group)
+        band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+        acc = _fused_rec_level(y, acc, band_src, taps_np, scale)
         pos += nb - 1
     return acc

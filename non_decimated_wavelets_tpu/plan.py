@@ -149,11 +149,10 @@ class NDDWT:
         if not is_complex and jax.default_backend() != "cpu":
             from .ops import pallas_kernels
 
-            max_k = max(self.filter_lengths)
             taps_np = tuple(np.asarray(t) for t in self.taps)
             if (
                 pallas_kernels._supported(self.shape, self.real_dtype)
-                and pallas_kernels._tile_plan(self.shape, max_k, "dec") is not None
+                and pallas_kernels._dec_tiles(self.shape, taps_np) is not None
                 and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
             ):
                 return "pallas"
