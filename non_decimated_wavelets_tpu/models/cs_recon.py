@@ -83,3 +83,32 @@ def fista_cs_mri(transform, b, mask, lam, level=2, iters=20, step=1.0):
 
     (x, _, _), _ = jax.lax.scan(body, (x, x, jnp.asarray(1.0, x.real.dtype)), None, length=iters)
     return x
+
+
+def fista_inpaint(transform, b, mask, lam, level=2, iters=20, step=1.0):
+    """FISTA for image-domain masked observation (inpainting):
+    ``min_x 0.5 ||M ⊙ x - b||^2 + lam ||W x||_1``.
+
+    All-real: runs on accelerators whose runtime lacks complex arithmetic
+    (the available TPU backend), unlike the masked-Fourier variant.
+    """
+    x = mask * b
+
+    def prox_grad(z):
+        grad = mask * (mask * z - b)
+        v = z - step * grad
+        y = _dec(transform, v, level)
+        y = soft_threshold(y, lam * step)
+        return _rec(transform, y)
+
+    def body(carry, _):
+        x, z, t = carry
+        x_new = prox_grad(z)
+        t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
+        z_new = x_new + ((t - 1.0) / t_new) * (x_new - x)
+        return (x_new, z_new, t_new), None
+
+    (x, _, _), _ = jax.lax.scan(
+        body, (x, x, jnp.asarray(1.0, x.dtype)), None, length=iters
+    )
+    return x

@@ -140,8 +140,11 @@ def dec_direct(x: jnp.ndarray, taps: tuple, level: int) -> jnp.ndarray:
 def rec_direct(
     y: jnp.ndarray, taps: tuple, level: int, preserve_l2: bool
 ) -> jnp.ndarray:
-    """Multilevel synthesis, direct path, from ``(B, *spatial)`` bands."""
-    ndim = y.ndim - 1
+    """Multilevel synthesis, direct path, from ``(B, *spatial)`` bands.
+
+    Extra dims between the band axis and the spatial axes (batch,
+    split-complex pairs) pass through untouched."""
+    ndim = len(taps)
     nb = 2**ndim
 
     def synth(group):

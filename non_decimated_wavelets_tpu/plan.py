@@ -137,11 +137,17 @@ class NDDWT:
                     "FFT); use path='direct' or dtype='single'"
                 )
             return self.path
-        # f64 FFT is unavailable on TPU (TPU FFT is f32-only); the direct
-        # path handles f64 via XLA's elementwise emulation. For short
-        # filters the direct path is the bandwidth winner anyway.
+        # The available TPU backend implements no complex arithmetic at all
+        # (c64 elementwise, FFT, and f64 FFT all fail; complex128 FFT
+        # hangs), so the FFT path is CPU-only and complex data on
+        # accelerators goes through dec_split/rec_split. The direct path
+        # handles f64 via XLA's elementwise emulation; for short filters it
+        # is the bandwidth winner anyway.
+        on_accel = jax.default_backend() != "cpu"
         if self.real_dtype == jnp.dtype(jnp.float64):
             return "direct"
+        if on_accel:
+            pass  # fall through to pallas/direct below; never 'fft'
         # On real accelerators the fused Pallas level kernels are ~3x the
         # XLA direct path (measured 62ms vs 200ms per 256^3 db4 L3 pair);
         # use them whenever the shape/dtype tiles. Interpreter-mode Pallas
@@ -156,7 +162,7 @@ class NDDWT:
                 and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
             ):
                 return "pallas"
-        if max(self.filter_lengths) <= 12:
+        if on_accel or max(self.filter_lengths) <= 12:
             return "direct"
         return "fft"
 
@@ -225,6 +231,56 @@ class NDDWT:
             else:
                 x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
         return x
+
+    # ---------------------------------------------------------- split-complex
+    def dec_split(self, x_pair, level: int):
+        """Analysis of complex data in split re/im form: (2, *shape) real ->
+        (2, B, *shape) real, band-first.
+
+        The filters are real, so the real and imaginary parts transform
+        independently — this is the complex path for accelerators whose
+        runtime has no complex arithmetic (the available TPU backend
+        implements none: c64 elementwise/FFT both fail). Numerically
+        identical to ``dec`` on ``x_pair[0] + 1j*x_pair[1]``.
+        """
+        x_pair = jnp.asarray(x_pair, self.real_dtype)
+        if x_pair.shape != (2,) + self.shape:
+            raise ValueError(
+                f"expected (2, *{self.shape}) split re/im array, got "
+                f"{x_pair.shape}"
+            )
+        level = int(level)
+        path = self._resolve_path(is_complex=False)
+        with jax.named_scope(f"nddwt.dec_split.{path}.L{level}"):
+            if path == "pallas":
+                from .ops import pallas_kernels
+
+                f = lambda v: pallas_kernels.dec_pallas(v, self.taps, level)
+                return jnp.stack([f(x_pair[0]), f(x_pair[1])])
+            # direct path handles a leading batch dim natively
+            y = direct_path.dec_direct(x_pair, self.taps, level)
+            return jnp.swapaxes(y, 0, 1)
+
+    def rec_split(self, y_pair):
+        """Synthesis from split re/im bands: (2, B, *shape) -> (2, *shape)."""
+        y_pair = jnp.asarray(y_pair, self.real_dtype)
+        if y_pair.ndim != self.ndim + 2 or y_pair.shape[0] != 2:
+            raise ValueError(
+                f"expected (2, B, *{self.shape}) split band array, got "
+                f"{y_pair.shape}"
+            )
+        level = _oracle.level_from_bands(self.ndim, y_pair.shape[1])
+        path = self._resolve_path(is_complex=False)
+        with jax.named_scope(f"nddwt.rec_split.{path}.L{level}"):
+            if path == "pallas":
+                from .ops import pallas_kernels
+
+                f = lambda v: pallas_kernels.rec_pallas(
+                    v, self.taps, level, self.preserve_l2
+                )
+                return jnp.stack([f(y_pair[0]), f(y_pair[1])])
+            y = jnp.swapaxes(y_pair, 0, 1)  # (B, 2, *shape)
+            return direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
 
     # ------------------------------------------------------------ convenience
     def num_bands(self, level: int) -> int:

@@ -108,3 +108,40 @@ def test_plan_validation():
         plan.dec(np.zeros((16, 16)), 0)  # bad level
     with pytest.raises(ValueError):
         plan.rec(np.zeros((16, 16, 9)))  # invalid band count
+
+
+def test_dec_split_matches_complex(rng):
+    """Split re/im transforms are numerically identical to the complex path
+    (real filters act on re/im independently) — the complex route for
+    accelerators whose runtime lacks complex arithmetic."""
+    shape = (16, 14)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet="db3", shape=shape, dtype="double", path="direct")
+    pair = np.stack([x.real, x.imag])
+    y_split = np.asarray(plan.dec_split(pair, 2))
+    y_c = np.asarray(plan.dec(x, 2, band_axis=0))
+    np.testing.assert_allclose(y_split[0] + 1j * y_split[1], y_c, atol=1e-12)
+    x_back = np.asarray(plan.rec_split(y_split))
+    np.testing.assert_allclose(x_back[0] + 1j * x_back[1], x, atol=1e-12)
+
+
+def test_split_validation():
+    plan = nw.NDDWT(wavelet="db2", shape=(16, 16), dtype="double")
+    with pytest.raises(ValueError):
+        plan.dec_split(np.zeros((3, 16, 16)), 1)
+    with pytest.raises(ValueError):
+        plan.rec_split(np.zeros((16, 16, 4)))
+
+
+def test_fista_inpaint(rng):
+    from non_decimated_wavelets_tpu.models import fista_inpaint
+
+    n = 32
+    img = np.zeros((n, n))
+    img[8:24, 10:20] = 1.0
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    b = jnp.asarray(mask * img)
+    plan = nw.NDDWT(wavelet="db1", shape=(n, n), preserve_l2=True, dtype="double")
+    x = np.asarray(fista_inpaint(plan, b, jnp.asarray(mask), lam=2e-3, level=2, iters=60))
+    masked_err = np.linalg.norm(mask * img - img)
+    assert np.linalg.norm(x - img) < 0.6 * masked_err
