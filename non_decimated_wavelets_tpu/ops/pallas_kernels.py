@@ -278,6 +278,10 @@ def dec_pallas(x, taps, level: int):
     shapes/dtypes. Not itself jitted — wrap the caller in ``jax.jit``.
     """
     taps_np = tuple(np.asarray(t) for t in taps)
+    from . import pallas_resident
+
+    if pallas_resident.resident_supported(x.shape, x.dtype, taps_np):
+        return pallas_resident.dec_resident(x, taps_np, level)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         return direct_path.dec_direct(x, taps, level)
     groups = []
@@ -505,6 +509,10 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
     taps_np = tuple(np.asarray(t) for t in taps)
     ndim = y.ndim - 1
     shape = y.shape[1:]
+    from . import pallas_resident
+
+    if pallas_resident.resident_supported(shape, y.dtype, taps_np):
+        return pallas_resident.rec_resident(y, taps_np, level, preserve_l2)
     if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim

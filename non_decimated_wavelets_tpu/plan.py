@@ -31,6 +31,8 @@ _REAL_DTYPES = {
     "float64": jnp.float64,
     "single": jnp.float32,
     "double": jnp.float64,
+    "bfloat16": jnp.bfloat16,
+    "bf16": jnp.bfloat16,
 }
 
 
@@ -44,9 +46,14 @@ def _as_real_dtype(dtype) -> jnp.dtype:
     else:
         dt = jnp.dtype(dtype)
     dt = jnp.dtype(dt)
-    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.float64)):
+    if dt not in (
+        jnp.dtype(jnp.float32),
+        jnp.dtype(jnp.float64),
+        jnp.dtype(jnp.bfloat16),
+    ):
         raise ValueError(
-            f"precision must be float32/float64 ('single'/'double'), got {dtype!r}"
+            "precision must be float32/float64/bfloat16 "
+            f"('single'/'double'/'bf16'), got {dtype!r}"
         )
     if dt == jnp.dtype(jnp.float64) and not jax.config.read("jax_enable_x64"):
         raise ValueError(
@@ -103,7 +110,11 @@ class NDDWT:
             raise ValueError(f"path must be one of {_VALID_PATHS}, got {self.path!r}")
 
         rdt = _as_real_dtype(self.dtype)
-        cdt = jnp.complex64 if rdt == jnp.dtype(jnp.float32) else jnp.complex128
+        cdt = (
+            jnp.complex128
+            if rdt == jnp.dtype(jnp.float64)
+            else jnp.complex64  # f32 and bf16 both promote to c64
+        )
         object.__setattr__(self, "real_dtype", rdt)
         object.__setattr__(self, "complex_dtype", cdt)
 
@@ -155,7 +166,13 @@ class NDDWT:
         if not is_complex and jax.default_backend() != "cpu":
             from .ops import pallas_kernels
 
+            from .ops import pallas_resident
+
             taps_np = tuple(np.asarray(t) for t in self.taps)
+            if pallas_resident.resident_supported(
+                self.shape, self.real_dtype, taps_np
+            ):
+                return "pallas"
             if (
                 pallas_kernels._supported(self.shape, self.real_dtype)
                 and pallas_kernels._dec_tiles(self.shape, taps_np) is not None

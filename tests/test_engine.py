@@ -145,3 +145,14 @@ def test_fista_inpaint(rng):
     x = np.asarray(fista_inpaint(plan, b, jnp.asarray(mask), lam=2e-3, level=2, iters=60))
     masked_err = np.linalg.norm(mask * img - img)
     assert np.linalg.norm(x - img) < 0.6 * masked_err
+
+
+def test_bfloat16_roundtrip(rng):
+    """bfloat16 storage (half the HBM traffic) with tolerances to match."""
+    shape = (32, 32)
+    x = rng.standard_normal(shape).astype(np.float32)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype="bf16", path="direct")
+    y = plan.dec(jnp.asarray(x, jnp.bfloat16), 2)
+    assert y.dtype == jnp.bfloat16
+    xr = np.asarray(plan.rec(y), dtype=np.float32)
+    assert np.max(np.abs(xr - x)) < 0.15  # bf16 has ~3 decimal digits

@@ -58,3 +58,39 @@ def test_plan_pallas_path(rng):
         y = plan.dec(x, 2)
         xr = plan.rec(y)
     assert np.max(np.abs(np.asarray(xr) - x)) < 1e-4
+
+
+# --------------------------------------------------------------------------
+# Resident whole-array kernels (small shapes, incl. 1D).
+# --------------------------------------------------------------------------
+from non_decimated_wavelets_tpu.ops import pallas_resident
+
+
+@pytest.mark.parametrize(
+    "shape,wv,level",
+    [
+        ((1024,), "db4", 3),
+        ((256,), "db2", 2),
+        ((64, 128), ("db3", "db5"), 3),
+        ((128, 256), "db1", 2),
+    ],
+)
+def test_resident_matches_direct(shape, wv, level, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    assert pallas_resident.resident_supported(shape, jnp.float32, taps_np)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yr = pallas_resident.dec_resident(x, taps_np, level)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(yr), np.asarray(yd), atol=1e-5)
+    with pltpu.force_tpu_interpret_mode():
+        xr = pallas_resident.rec_resident(yd, taps_np, level, False)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_resident_unsupported_shapes():
+    taps = (np.zeros((2, 8), np.float32),) * 2
+    assert not pallas_resident.resident_supported((1000,), jnp.float32, (taps[0],))
+    assert not pallas_resident.resident_supported((512, 512), jnp.float64, taps)
+    assert not pallas_resident.resident_supported((1024, 1024), jnp.float32, taps)
