@@ -156,3 +156,24 @@ def test_bfloat16_roundtrip(rng):
     assert y.dtype == jnp.bfloat16
     xr = np.asarray(plan.rec(y), dtype=np.float32)
     assert np.max(np.abs(xr - x)) < 0.15  # bf16 has ~3 decimal digits
+
+
+def test_5d_superset(rng):
+    """The engine is dimension-generic — 5D works (the reference stops at
+    4D); oracle and direct path agree."""
+    shape = (6, 6, 4, 4, 4)
+    x = rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet="db1", shape=shape, dtype="double", path="direct")
+    y = np.asarray(plan.dec(x, 2))
+    assert y.shape == shape + (32 + 31,)
+    np.testing.assert_allclose(y, oracle.dec(x, "db1", 2), atol=1e-12)
+    assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
+
+
+def test_db12_superset(rng):
+    """Wavelets beyond the reference's db10 table work (generated taps)."""
+    x = rng.standard_normal(64)
+    plan = nw.NDDWT(wavelet="db12", shape=(64,), preserve_l2=True, dtype="double")
+    y = plan.dec(x, 2)
+    assert abs(np.linalg.norm(np.asarray(y)) / np.linalg.norm(x) - 1) < 1e-12
+    assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
