@@ -20,7 +20,7 @@ def noisbloc(n=1024, seed=0):
 
 def main():
     x = noisbloc()
-    t = nw.nd_dwt_1D("db4", len(x), pres_l2_norm=True)
+    t = nw.nd_dwt_1D("db4", len(x), pres_l2_norm=True, precision="single")
     y = t.dec(x, 3)
     xr = np.asarray(t.rec(y))
     print(f"bands: {np.asarray(y).shape[-1]}")

@@ -17,7 +17,7 @@ def phantom(n=256):
 
 def main():
     img = phantom()
-    t = nw.nd_dwt_2D(("db1", "db3"), img.shape, pres_l2_norm=True)
+    t = nw.nd_dwt_2D(("db1", "db3"), img.shape, pres_l2_norm=True, precision="single")
     y = t.dec(img, 3)
     rec = np.asarray(t.rec(y))
     print(f"bands: {np.asarray(y).shape[-1]}")

@@ -9,7 +9,7 @@ import non_decimated_wavelets_tpu as nw
 def main():
     rng = np.random.default_rng(0)
     x = rng.standard_normal((64, 64, 40))
-    t = nw.nd_dwt_3D(("db1", "db3", "db2"), x.shape, pres_l2_norm=True)
+    t = nw.nd_dwt_3D(("db1", "db3", "db2"), x.shape, pres_l2_norm=True, precision="single")
     y = t.dec(x, 2)
     xr = np.asarray(t.rec(y))
     print(f"bands: {np.asarray(y).shape[-1]}")

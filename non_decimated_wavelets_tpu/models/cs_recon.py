@@ -67,6 +67,10 @@ def ista_step(transform, x, b, mask, lam, step, level):
 def fista_cs_mri(transform, b, mask, lam, level=2, iters=20, step=1.0):
     """FISTA on the masked-Fourier CS problem; returns the reconstruction.
 
+    Requires complex FFT support (CPU backends; the available TPU runtime
+    has none — use :func:`fista_inpaint` there, or split-complex data with
+    an image-domain operator).
+
     ``b``: observed k-space (same shape as the image), ``mask``: 0/1
     sampling mask. The loop body is a single jitted program; the transform's
     cached filter bank makes every iteration cheap — the reference's whole
