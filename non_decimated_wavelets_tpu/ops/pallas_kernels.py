@@ -14,20 +14,25 @@ Layout strategy:
 
 * the **last** spatial axis stays fully resident per tile and is the TPU
   lane dimension; its periodic wrap is a free lane rotate (``pltpu.roll``);
-* **leading** spatial axes are circular-pre-padded once in XLA (one cheap
-  copy) so in-kernel halo loads are plain contiguous DMAs with no wrap
-  logic;
+* **leading** spatial axes load halo'd tiles straight from the unpadded
+  array via L/C/R wrap-segment DMAs (no XLA pre-pad); the sublane dimension
+  uses 8-aligned segment extents (empirical v5e DMA constraint), outer
+  dimensions use exact halos;
 * filter taps are baked in as Python floats (plan constants), so the inner
-  loops are pure VPU multiply-adds.
+  loops are pure VPU multiply-adds;
+* multilevel synthesis is concat-free: each level's kernel streams band 0
+  from the previous level's output and detail bands from the original band
+  array at static offsets, with the reference's per-level ``1/2^d`` folded
+  into the accumulator.
 
 Band-order contract (identical to ``ops/direct_path.py``): engine band index
 ``b`` has bit ``k`` = high-pass on spatial axis ``k``, bit 0 fastest
-(reference order, ``Functions/nd_dwt_3D.m:334-341``). The kernel processes
-axes last->first, so axis k's selector lands at position ``ndim-1-k`` of the
-internal list index — the write-out loop bit-reverses.
+(reference order, ``Functions/nd_dwt_3D.m:334-341``). Axes are processed
+first->last, so the internal band-list index IS the engine order.
 
 Synthesis is the exact adjoint: correlation with time-reversed taps at the
-mirrored anchor (``o' = K-1-o``), summed over band pairs.
+mirrored anchor (``o' = K-1-o``), accumulated per band (streaming, one band
+tile in flight with 3-slot DMA prefetch).
 
 Supported: 2D/3D, float32/bfloat16, last axis a multiple of 128, leading
 axes divisible by a feasible tile. The dispatcher (``dec_pallas`` /

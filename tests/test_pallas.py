@@ -94,3 +94,23 @@ def test_resident_unsupported_shapes():
     assert not pallas_resident.resident_supported((1000,), jnp.float32, (taps[0],))
     assert not pallas_resident.resident_supported((512, 512), jnp.float64, taps)
     assert not pallas_resident.resident_supported((1024, 1024), jnp.float32, taps)
+
+
+@pytest.mark.parametrize(
+    "shape,wv,level",
+    [
+        ((32, 32, 128), "db8", 2),     # long filter: halo == W exactly
+        ((64, 64, 128), "db10", 1),    # halo > 8 -> W = 16
+        ((32, 32, 128), ("db2", "db8", "db4"), 2),  # mixed K per axis
+    ],
+)
+def test_long_filters_tiled(shape, wv, level, rng):
+    """Long/mixed filters stress the halo and segment arithmetic."""
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    with pltpu.force_tpu_interpret_mode():
+        yp = pallas_kernels.dec_pallas(x, plan.taps, level)
+        xr = pallas_kernels.rec_pallas(yd, plan.taps, level, False)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=2e-4)
