@@ -150,7 +150,7 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     return copies
 
 
-def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
+def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -160,7 +160,8 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
 
-    def kernel(x_hbm, det_ref, app_ref, buf, sem):
+    def kernel(x_hbm, big_in, big_ref, app_ref, buf, stage, sem, sem_out):
+        del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
             x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids
@@ -199,8 +200,29 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple):
                 new_hi.append(hi)
             vals = new_lo + new_hi  # newest axis bit = MSB: identity order
         app_ref[...] = vals[0]
+        # Detail bands go straight into the full multilevel output array
+        # (ANY space, aliased input/output) via staged DMAs at the level's
+        # static band offset: no XLA band concatenation anywhere in dec.
+        inflight = [None, None]
         for b in range(1, nb):
-            det_ref[b - 1] = vals[b]
+            slot = (b - 1) % 2
+            if inflight[slot] is not None:
+                inflight[slot].wait()
+            stage[np.int32(slot)] = vals[b]
+            out_idx = (np.int32(band_off + b - 1),) + tuple(
+                pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
+                for ax in range(n_lead)
+            ) + (slice(None),)
+            c = pltpu.make_async_copy(
+                stage.at[np.int32(slot)],
+                big_ref.at[out_idx],
+                sem_out.at[np.int32(slot)],
+            )
+            c.start()
+            inflight[slot] = c
+        for c in inflight:
+            if c is not None:
+                c.wait()
 
     return kernel
 
@@ -227,8 +249,10 @@ def _dec_tiles(shape, taps_np):
     return None
 
 
-def _fused_dec_level(x, taps_np):
-    """One analysis level: (spatial) -> (details (2^d-1, s), approx (s))."""
+def _fused_dec_level(x, big, band_off, taps_np):
+    """One analysis level. Detail bands are written in place into ``big``
+    (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
+    (big, next approx)."""
     ndim = x.ndim
     shape = x.shape
     nb = 2**ndim
@@ -243,16 +267,16 @@ def _fused_dec_level(x, taps_np):
         tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
     ) + (shape[-1],)
 
+    B = big.shape[0]
     return pl.pallas_call(
-        _make_dec_kernel(ndim, tiles, shape, taps_np),
+        _make_dec_kernel(ndim, tiles, shape, taps_np, band_off),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
         out_specs=(
-            pl.BlockSpec(
-                (nb - 1,) + tuple(tiles) + (shape[-1],),
-                lambda *gi: (np.int32(0),) + gi + (np.int32(0),),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 tuple(tiles) + (shape[-1],),
                 lambda *gi: gi + (np.int32(0),),
@@ -260,14 +284,17 @@ def _fused_dec_level(x, taps_np):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((nb - 1,) + shape, x.dtype),
+            jax.ShapeDtypeStruct((B,) + shape, x.dtype),
             jax.ShapeDtypeStruct(shape, x.dtype),
         ),
+        input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM(buf_tile, x.dtype),
+            pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
             pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(x)
+    )(x, big)
 
 
 def dec_pallas(x, taps, level: int):
@@ -289,15 +316,16 @@ def dec_pallas(x, taps, level: int):
         return pallas_resident.dec_resident(x, taps_np, level)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         return direct_path.dec_direct(x, taps, level)
-    groups = []
+    ndim = x.ndim
+    nb = 2**ndim
+    B = nb + (nb - 1) * (level - 1)
+    big = jnp.empty((B,) + x.shape, x.dtype)
     approx = x
+    off = B
     for _ in range(level):
-        details, approx = _fused_dec_level(approx, taps_np)
-        groups.append(details)
-    parts = [approx[None]]
-    for g in reversed(groups):
-        parts.append(g)
-    return jnp.concatenate(parts, axis=0)
+        off -= nb - 1
+        big, approx = _fused_dec_level(approx, big, off, taps_np)
+    return big.at[0].set(approx)
 
 
 # ---------------------------------------------------------------------------
