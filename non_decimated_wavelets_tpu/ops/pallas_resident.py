@@ -1,13 +1,18 @@
 """Resident whole-array Pallas kernels for small transforms.
 
-For arrays that fit in VMEM (1D signals, images up to ~512^2 f32), the
-tiled kernels in ``pallas_kernels.py`` are launch-latency-bound: a 3-level
-2D pair costs ~8 kernel launches plus XLA glue (~5.7 ms measured for 512^2
-on the available v5e, vs ~0.3 ms of actual data movement). These kernels
-run the ENTIRE multilevel transform in one ``pallas_call``: the array stays
-resident in VMEM, every circular wrap is a roll (no halo machinery), levels
-are unrolled in-register, and the only HBM traffic is the mathematically
-required band reads/writes via per-band DMAs.
+For arrays that fit in VMEM (1D signals, images up to 512^2 f32), the tiled
+kernels in ``pallas_kernels.py`` are launch-latency-bound: a 3-level 2D
+pair costs ~8 kernel launches plus XLA glue (~6 ms measured for 512^2 on
+the available v5e, vs ~0.3 ms of actual data movement). These kernels run
+the ENTIRE multilevel transform in one ``pallas_call``: the array stays
+resident in VMEM, every circular wrap is a roll, levels are unrolled, and
+the only HBM traffic is the mathematically required band reads/writes.
+
+Correlations accumulate inside ``lax.fori_loop`` with *dynamic* roll
+amounts and taps read from an SMEM operand: Mosaic keeps every output of an
+*unrolled* roll chain live on its 16MB scoped stack (a 512^2 K=8 unrolled
+kernel compiled to a 28MB allocation), while the loop form holds one roll
+at a time.
 
 1D arrays are lifted to (1, N) so the signal occupies the lane dimension.
 
@@ -23,11 +28,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM working-set budget in f32 words. Mosaic materializes every roll of
-# the unrolled correlation chains on its scoped stack (a 512^2 K=8 kernel
-# compiled to a 28MB scoped allocation), so the practical ceiling is far
-# below the naive working-set estimate; 512^2 stays on the tiled kernels.
-_BUDGET_WORDS = 1_300_000
+# VMEM working-set budget in f32 words: array x ~6 live copies (input,
+# accumulator, one roll, stage buffers) — sized to admit 512^2 f32.
+_BUDGET_WORDS = 1_600_000
 
 
 def _lifted_shape(shape):
@@ -43,40 +46,43 @@ def resident_supported(shape, dtype, taps_np) -> bool:
     if ls[-1] % 128:
         return False
     numel = int(np.prod(ls))
-    nb = 2 ** len(shape)
-    return numel * (nb + 4) <= _BUDGET_WORDS
+    return numel * 6 <= _BUDGET_WORDS
 
 
-def _roll(v, shift, axis):
-    shift = shift % v.shape[axis]
-    return pltpu.roll(v, np.int32(shift), axis=axis) if shift else v
+def _corr_fori(v, taps_ref, sel, axis, o, reverse):
+    """K-tap roll correlation as a fori_loop (one roll live at a time).
+
+    ``reverse=False``: y[n] = sum_j t[j] v[n+j-o]  (roll by o-j).
+    ``reverse=True`` : adjoint — reversed taps at the mirrored anchor:
+    y[m] = sum_j t[K-1-j] v[m+j-(K-1-o)]  (roll by (K-1-o)-j).
+    """
+    K = taps_ref.shape[1]
+    N = v.shape[axis]
+    anchor = (K - 1 - o) if reverse else o
+
+    def body(j, acc):
+        shift = jax.lax.rem(np.int32(anchor) - j + np.int32(16 * N), np.int32(N))
+        r = pltpu.roll(v, shift, axis=axis)
+        tap_idx = (np.int32(K - 1) - j) if reverse else j
+        t = taps_ref[np.int32(sel), tap_idx]
+        return acc + t * r
+
+    return jax.lax.fori_loop(0, K, body, jnp.zeros_like(v))
 
 
-def _corr_roll(v, trow, axis, o):
-    """y[n] = sum_j t[j] v[n+j-o] via resident rolls."""
-    acc = None
-    for j, t in enumerate(trow):
-        r = _roll(v, o - j, axis)
-        term = float(t) * r
-        acc = term if acc is None else acc + term
-    return acc
-
-
-def _make_res_dec_kernel(ndim_sp, lifted, taps_np_tuple, level, B, nb):
-    # Spatial axis k of the original array maps to lifted axis
-    # k + (len(lifted) - ndim_sp).
+def _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb):
     ax_off = len(lifted) - ndim_sp
 
-    def kernel(x_hbm, out_hbm, xbuf, stage, sem_in, sem_out):
+    def kernel(x_hbm, *rest):
+        taps_refs = rest[:ndim_sp]
+        out_hbm = rest[ndim_sp]
+        xbuf, stage, sem_in, sem_out = rest[ndim_sp + 1 :]
         dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
         dma.start()
         dma.wait()
         approx = xbuf[...]
-        pending = []  # (band_index, stage_slot) of in-flight writes
-        off = B
 
         def write_band(idx, val, slot):
-            # Wait out the previous user of this stage slot, then DMA.
             stage[np.int32(slot)] = val
             c = pltpu.make_async_copy(
                 stage.at[np.int32(slot)],
@@ -88,18 +94,15 @@ def _make_res_dec_kernel(ndim_sp, lifted, taps_np_tuple, level, B, nb):
 
         inflight = [None, None]
         slot = 0
+        off = B
         for lvl in range(level):
-            # Per-band recompute (d passes per band instead of the shared
-            # fan-out tree): ~2x the VPU flops, but only one band value
-            # live at a time — the resident kernel is VMEM-bound, not
-            # compute-bound (a shared-tree variant blew the 16MB scoped
-            # limit at 512^2 by 3MB).
-            def band_val(b):
+            def band_val(b, approx=approx):
                 v = approx
                 for ax in range(ndim_sp):
-                    taps_np = taps_np_tuple[ax]
-                    o = taps_np.shape[1] // 2 - 1
-                    v = _corr_roll(v, taps_np[(b >> ax) & 1], ax + ax_off, o)
+                    o = Ks[ax] // 2 - 1
+                    v = _corr_fori(
+                        v, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, False
+                    )
                 return v
 
             new_approx = band_val(0)
@@ -128,11 +131,14 @@ def dec_resident(x, taps_np, level: int):
     B = nb + (nb - 1) * (level - 1)
     lifted = _lifted_shape(shape)
     xl = x.reshape(lifted)
+    Ks = tuple(t.shape[1] for t in taps_np)
+    taps_ops = [jnp.asarray(t, x.dtype) for t in taps_np]
 
     out = pl.pallas_call(
-        _make_res_dec_kernel(ndim_sp, lifted, taps_np, level, B, nb),
+        _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * ndim_sp,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B,) + lifted, x.dtype),
         scratch_shapes=[
@@ -141,16 +147,19 @@ def dec_resident(x, taps_np, level: int):
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(xl)
+    )(xl, *taps_ops)
     return out.reshape((B,) + shape)
 
 
-def _make_res_rec_kernel(ndim_sp, lifted, taps_np_tuple, level, nb, scale):
+def _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale):
     ax_off = len(lifted) - ndim_sp
 
-    def kernel(y_hbm, out_hbm, bufs, stage, sem_in, sem_out):
-        # Band read order across the whole multilevel synthesis.
-        reads = []  # hbm band index per step, or None for the VMEM approx
+    def kernel(y_hbm, *rest):
+        taps_refs = rest[:ndim_sp]
+        out_hbm = rest[ndim_sp]
+        bufs, stage, sem_in, sem_out = rest[ndim_sp + 1 :]
+
+        reads = []
         pos = nb
         for lvl in range(level):
             if lvl == 0:
@@ -172,8 +181,7 @@ def _make_res_rec_kernel(ndim_sp, lifted, taps_np_tuple, level, nb, scale):
             c.start()
             return c
 
-        # Stride-1 prefetch on two slots: starting step+2 would overwrite
-        # the slot still being consumed by the current step.
+        # Stride-1 prefetch on two slots.
         inflight = {}
         if len(reads) > 0:
             inflight[0] = start_read(0, 0)
@@ -194,10 +202,15 @@ def _make_res_rec_kernel(ndim_sp, lifted, taps_np_tuple, level, nb, scale):
                     v = acc  # running approximation, already in VMEM
                 contrib = v
                 for ax in range(ndim_sp):
-                    trow = taps_np_tuple[ax][(b >> ax) & 1][::-1]
-                    K = len(trow)
-                    o_adj = K // 2
-                    contrib = _corr_roll(contrib, trow, ax + ax_off, o_adj)
+                    o = Ks[ax] // 2 - 1
+                    contrib = _corr_fori(
+                        contrib,
+                        taps_refs[ax],
+                        (b >> ax) & 1,
+                        ax + ax_off,
+                        o,
+                        True,
+                    )
                 lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
                 step += 1
             acc = lvl_acc * scale if scale != 1.0 else lvl_acc
@@ -218,11 +231,14 @@ def rec_resident(y, taps_np, level: int, preserve_l2: bool):
     scale = 1.0 if preserve_l2 else 1.0 / nb
     lifted = _lifted_shape(shape)
     yl = y.reshape((B,) + lifted)
+    Ks = tuple(t.shape[1] for t in taps_np)
+    taps_ops = [jnp.asarray(t, y.dtype) for t in taps_np]
 
     out = pl.pallas_call(
-        _make_res_rec_kernel(ndim_sp, lifted, taps_np, level, nb, scale),
+        _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale),
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * ndim_sp,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(lifted, y.dtype),
         scratch_shapes=[
@@ -231,5 +247,5 @@ def rec_resident(y, taps_np, level: int, preserve_l2: bool):
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
-    )(yl)
+    )(yl, *taps_ops)
     return out.reshape(shape)
