@@ -60,14 +60,23 @@ def _corr_fori(v, taps_ref, sel, axis, o, reverse):
     N = v.shape[axis]
     anchor = (K - 1 - o) if reverse else o
 
-    def body(j, acc):
+    # Explicit i32 while_loop: fori_loop promotes its index to i64 under
+    # jax_enable_x64, and any i64 value (or i64->i32 convert) inside a
+    # Pallas kernel sends Mosaic's convert_element_type lowering into
+    # unbounded recursion.
+    def cond(carry):
+        return carry[0] < np.int32(K)
+
+    def body(carry):
+        j, acc = carry
         shift = jax.lax.rem(np.int32(anchor) - j + np.int32(16 * N), np.int32(N))
         r = pltpu.roll(v, shift, axis=axis)
         tap_idx = (np.int32(K - 1) - j) if reverse else j
         t = taps_ref[np.int32(sel), tap_idx]
-        return acc + t * r
+        return (j + np.int32(1), acc + t * r)
 
-    return jax.lax.fori_loop(0, K, body, jnp.zeros_like(v))
+    j0 = jnp.asarray(0, jnp.int32)
+    return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
 
 
 def _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb):
@@ -138,7 +147,17 @@ def dec_resident(x, taps_np, level: int):
         _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * ndim_sp,
+        + [
+            # explicit np.int32 index maps: auto-generated ones return
+            # Python-int zeros, which lower to i64 under jax_enable_x64
+            # and fail Mosaic legalization
+            pl.BlockSpec(
+                t.shape,
+                lambda i: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_np
+        ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((B,) + lifted, x.dtype),
         scratch_shapes=[
@@ -238,7 +257,14 @@ def rec_resident(y, taps_np, level: int, preserve_l2: bool):
         _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale),
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
-        + [pl.BlockSpec(memory_space=pltpu.SMEM)] * ndim_sp,
+        + [
+            pl.BlockSpec(
+                t.shape,
+                lambda i: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_np
+        ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(lifted, y.dtype),
         scratch_shapes=[
