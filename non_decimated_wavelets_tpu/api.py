@@ -35,6 +35,8 @@ import numpy as np
 from . import oracle as _oracle
 from .plan import NDDWT
 
+_WARNED_X64 = False
+
 _COMPUTE_ALIASES = {
     "mat": "jax",
     "gpu": "jax",
@@ -91,11 +93,18 @@ class _NdDwtBase:
         self.precision = "single" if str(precision).lower() in ("single", "float32") else "double"
         if self.precision == "double" and not jax.config.read("jax_enable_x64"):
             if compute in ("jax", "offload"):
-                warnings.warn(
-                    "double precision requested but jax_enable_x64 is off; "
-                    "computing in float32. Enable x64 or pass precision='single'.",
-                    stacklevel=2,
-                )
+                global _WARNED_X64
+                if not _WARNED_X64:
+                    # warn once per process: 'double' is the reference's
+                    # default, so this fires on every default-construction
+                    # otherwise
+                    warnings.warn(
+                        "double precision requested but jax_enable_x64 is off; "
+                        "computing in float32. Enable x64 or pass "
+                        "precision='single'. (warned once)",
+                        stacklevel=2,
+                    )
+                    _WARNED_X64 = True
                 self.precision = "single"
 
         if compute == "native":

@@ -42,7 +42,6 @@ axes divisible by a feasible tile. The dispatcher (``dec_pallas`` /
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

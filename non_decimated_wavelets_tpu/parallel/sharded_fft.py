@@ -25,11 +25,9 @@ Supported: ndim >= 2, spatial axis 0 sharded over one mesh axis, with both
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..oracle import level_from_bands, num_bands

@@ -15,7 +15,7 @@ the plan is dimension-generic (like the reference's MEX core,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+
 
 import jax
 import jax.numpy as jnp

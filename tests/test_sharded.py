@@ -124,3 +124,21 @@ def test_pencil_fft_validation():
     plan1 = nw.NDDWT(wavelet="db2", shape=(64,), dtype="double")
     with pytest.raises(ValueError):
         ShardedFFTNDDWT(plan1, mesh, "x")  # ndim < 2
+
+
+def test_batch_spec_composes_with_spatial(rng):
+    """Leading batch (DP) axes compose with spatial sharding in one
+    shard_map — the mesh shape the multi-chip dryrun exercises."""
+    _skip_if_few_devices(8)
+    mesh = make_mesh({"data": 2, "x": 4})
+    plan = nw.NDDWT(wavelet="db2", shape=(32, 16), dtype="double")
+    sh = ShardedNDDWT(plan, mesh, ("x", None), batch_spec=("data",))
+    xb = rng.standard_normal((4, 32, 16))
+    xs = jax.device_put(jnp.asarray(xb), sh.x_sharding)
+    y = sh.dec(xs, 2)
+    assert y.shape == (7, 4, 32, 16)
+    for i in range(4):
+        gold = np.moveaxis(oracle.dec(xb[i], "db2", 2), -1, 0)
+        np.testing.assert_allclose(np.asarray(y[:, i]), gold, atol=1e-12)
+    xr = sh.rec(y)
+    np.testing.assert_allclose(np.asarray(xr), xb, atol=1e-12)
