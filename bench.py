@@ -239,8 +239,9 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"FISTA benchmark failed: {e!r}")
 
+    size_tag = "x".join(str(s) for s in shape)
     result = {
-        "metric": "voxels/sec/chip, 3-level db4 NDDWT dec+rec, 256^3 f32",
+        "metric": f"voxels/sec/chip, 3-level db4 NDDWT dec+rec, {size_tag} f32",
         "value": round(vps, 1),
         "unit": "voxels/sec",
         "vs_baseline": round(vps / base_vps, 2),

@@ -77,18 +77,20 @@ def assert_mesh_synchronized(mesh: Mesh, tol: float = 0.0) -> None:
     """
     import jax.numpy as jnp
 
-    n = int(np.prod(list(mesh.shape.values())))
-    x = jnp.ones((n,), jnp.float32)
     first = mesh.axis_names[0]
+    p0 = mesh.shape[first]
+    x = jnp.ones((p0,), jnp.float32)
 
     def body(v):
-        return jax.lax.psum(v, axis_name=mesh.axis_names)
+        # psum over the axis the input varies on; a hung or desynced
+        # device stalls or corrupts the reduction.
+        return jax.lax.psum(v, axis_name=first)
 
     spec = P(first)
     total = jax.jit(
         jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
     )(jax.device_put(x, NamedSharding(mesh, spec)))
-    expect = float(n)
+    expect = float(p0)
     got = float(np.asarray(total)[0])
     if abs(got - expect) > tol:
         raise RuntimeError(
