@@ -248,4 +248,17 @@ int nddwt_num_threads() {
 #endif
 }
 
+// Runtime thread control (the reference hard-codes 8 FFTW threads,
+// mex/nddwt.c:103; here the count is adjustable so benchmarks can measure
+// the honest single-core figure). Returns the resulting max thread count.
+int nddwt_set_num_threads(int n) {
+#ifdef _OPENMP
+  if (n > 0) omp_set_num_threads(n);
+  return omp_get_max_threads();
+#else
+  (void)n;
+  return 1;
+#endif
+}
+
 }  // extern "C"

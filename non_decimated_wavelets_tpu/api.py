@@ -11,7 +11,8 @@ the reference band layout ``[n1..nd, B]``.
 =============  =====================================================
 reference      this framework
 =============  =====================================================
-``'mat'``      ``'jax'`` — XLA on the default backend (TPU/CPU)
+``'mat'``      ``'offload'`` — host NumPy in/out (the reference's
+               ``'mat'`` contract), XLA compute underneath
 ``'mex'``      ``'native'`` — C++ CPU backend (falls back to 'jax'
                with a warning until the extension is built)
 ``'gpu'``      ``'jax'`` — accelerator-resident inputs/outputs
@@ -38,7 +39,9 @@ from .plan import NDDWT
 _WARNED_X64 = False
 
 _COMPUTE_ALIASES = {
-    "mat": "jax",
+    # 'mat' is host-in/host-out in the reference (plain MATLAB arrays);
+    # 'gpu' is device-resident (Functions/nd_dwt_1D.m:129-131 vs 139-141).
+    "mat": "offload",
     "gpu": "jax",
     "jax": "jax",
     "tpu": "jax",

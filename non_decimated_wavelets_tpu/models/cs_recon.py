@@ -40,6 +40,13 @@ def _rec(transform, y):
     return transform.rec(y, band_axis=0)
 
 
+def _shrink_details(y, lam):
+    """Soft-threshold the detail bands only (band-first layout): the
+    approximation band carries the low-frequency content the L1 penalty
+    should not shrink — consistent with ``denoise.denoise``."""
+    return jnp.concatenate([y[:1], soft_threshold(y[1:], lam)], axis=0)
+
+
 def _fwd(x, mask):
     axes = tuple(range(x.ndim))
     return mask * jnp.fft.fftn(x, axes=axes, norm="ortho")
@@ -60,7 +67,7 @@ def ista_step(transform, x, b, mask, lam, step, level):
     grad = _adj(_fwd(x, mask) - b, mask)
     v = x - step * grad
     y = _dec(transform, v, level)
-    y = soft_threshold(y, lam * step)
+    y = _shrink_details(y, lam * step)
     return _rec(transform, y)
 
 
@@ -102,7 +109,7 @@ def fista_inpaint(transform, b, mask, lam, level=2, iters=20, step=1.0):
         grad = mask * (mask * z - b)
         v = z - step * grad
         y = _dec(transform, v, level)
-        y = soft_threshold(y, lam * step)
+        y = _shrink_details(y, lam * step)
         return _rec(transform, y)
 
     def body(carry, _):

@@ -70,6 +70,19 @@ def available() -> bool:
     return _load() is not None
 
 
+def set_num_threads(n: int) -> int:
+    """Set the OpenMP thread count (returns the resulting max count).
+
+    The reference hard-codes 8 FFTW threads (``mex/nddwt.c:103``); this is
+    adjustable so benchmarks can pin the honest single-core figure."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native CPU backend not built (make -C native)")
+    lib.nddwt_set_num_threads.restype = ctypes.c_int
+    lib.nddwt_set_num_threads.argtypes = [ctypes.c_int]
+    return int(lib.nddwt_set_num_threads(int(n)))
+
+
 def _pack_taps(wavelets, ndim, preserve_l2):
     from ..filters import correlation_taps
     from ..oracle import _normalize_wavelets

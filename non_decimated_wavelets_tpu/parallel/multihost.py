@@ -72,25 +72,37 @@ def host_local_array(global_shape, mesh: Mesh, spec: P, fill_fn):
 def assert_mesh_synchronized(mesh: Mesh, tol: float = 0.0) -> None:
     """Fail fast if hosts disagree on mesh content (desynchronized pod).
 
-    Runs a tiny psum of the process index over the mesh: every device must
-    observe the same total. Raises RuntimeError on mismatch.
+    Each device contributes a placement-dependent value — its C-order
+    linear mesh index plus ``1000 x`` the owning host's process index —
+    psum'd over **every** mesh axis. Every device must observe the expected
+    total (computed host-side from the mesh's device array), so a reordered
+    mesh, a device attributed to the wrong host, or a desync isolated to a
+    non-leading mesh axis all produce a detectable mismatch (a hung device
+    stalls the collective). Raises RuntimeError on mismatch.
     """
     import jax.numpy as jnp
 
-    first = mesh.axis_names[0]
-    p0 = mesh.shape[first]
-    x = jnp.ones((p0,), jnp.float32)
+    names = mesh.axis_names
+    sizes = [mesh.shape[n] for n in names]
 
-    def body(v):
-        # psum over the axis the input varies on; a hung or desynced
-        # device stalls or corrupts the reduction.
-        return jax.lax.psum(v, axis_name=first)
+    def body():
+        lin = jnp.zeros((), jnp.float32)
+        mult = 1.0
+        for n, sz in zip(reversed(names), reversed(sizes)):
+            lin = lin + jnp.float32(jax.lax.axis_index(n)) * mult
+            mult *= sz
+        # process_index is a per-host trace constant: each host stamps its
+        # own devices' contributions.
+        contrib = jnp.full((1,), lin + 1000.0 * jax.process_index(), jnp.float32)
+        for n in names:
+            contrib = jax.lax.psum(contrib, axis_name=n)
+        return contrib
 
-    spec = P(first)
     total = jax.jit(
-        jax.shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)
-    )(jax.device_put(x, NamedSharding(mesh, spec)))
-    expect = float(p0)
+        jax.shard_map(body, mesh=mesh, in_specs=(), out_specs=P())
+    )()
+    devs = mesh.devices.ravel()  # C order matches the linear index above
+    expect = float(sum(range(devs.size)) + 1000 * sum(d.process_index for d in devs))
     got = float(np.asarray(total)[0])
     if abs(got - expect) > tol:
         raise RuntimeError(

@@ -100,3 +100,33 @@ def test_haar_rejects_non_haar():
 def test_mixed_wavelet_count_error():
     with pytest.raises(ValueError):
         nw.nd_dwt_2D(("db1", "db2", "db3"), (16, 16))
+
+
+def test_mat_returns_host_arrays(rng):
+    """The reference's 'mat' is host-in/host-out (plain MATLAB arrays);
+    'gpu' is device-resident (Functions/nd_dwt_1D.m:129-141)."""
+    t = nw.nd_dwt_2D("db2", (16, 16), compute="mat")
+    x = rng.standard_normal((16, 16))
+    y = t.dec(x, 2)
+    assert isinstance(y, np.ndarray)
+    assert isinstance(t.rec(y), np.ndarray)
+    import jax
+
+    tg = nw.nd_dwt_2D("db2", (16, 16), compute="gpu")
+    assert isinstance(tg.dec(x, 2), jax.Array)
+
+
+def test_complex_on_accelerator_raises(rng, monkeypatch):
+    """Complex input must fail loudly (pointing at dec_split/rec_split) on
+    an accelerator backend with no complex arithmetic — not UNIMPLEMENTED
+    at execution time."""
+    import jax
+
+    plan = nw.NDDWT(wavelet="db2", shape=(16, 16))
+    x = rng.standard_normal((16, 16)) + 1j * rng.standard_normal((16, 16))
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="dec_split"):
+        plan.dec(x.astype(np.complex64), 2)
+    y = np.zeros((7, 16, 16), np.complex64)
+    with pytest.raises(ValueError, match="dec_split"):
+        plan.rec(y, band_axis=0)

@@ -89,3 +89,50 @@ def test_name_parsing_and_errors():
         # filter longer than axis: same trigger as the reference error
         # (Functions/nd_dwt_3D.m:277-286)
         F.frequency_response("db4", 5)
+
+
+# ---------------------------------------------------------------------------
+# Reference-table parity: parse the reference's hard-coded db tables at test
+# time and pin our spectral-factorization taps to them (this fixes the
+# extremal-phase root-selection convention — symlets etc. would pass every
+# invariant above but fail here).
+# ---------------------------------------------------------------------------
+
+_REF_TABLE = "/root/reference/Functions/wave_filters.m"
+
+
+def _parse_reference_tables(path):
+    """{p: low_d taps} parsed from the reference's switch statement
+    (``wave_filters.m:19-156``): ``case {'dbN'}`` then ``low_d = [...];``."""
+    import re
+
+    text = open(path).read()
+    tables = {}
+    for m in re.finditer(r"case\s*\{'db(\d+)'\}(.*?)(?=case\s*\{|otherwise)",
+                         text, re.S):
+        p = int(m.group(1))
+        body = m.group(2)
+        vals = re.search(r"low_d\s*=\s*\[(.*?)\]", body, re.S)
+        nums = re.findall(r"[-+]?\d+(?:\.\d+)?(?:e[-+]?\d+)?(?:/sqrt\(2\))?",
+                          vals.group(1).replace("...", " "), re.I)
+        taps = []
+        for s in nums:
+            if s.endswith("/sqrt(2)"):
+                taps.append(float(s[: -len("/sqrt(2)")]) / np.sqrt(2))
+            else:
+                taps.append(float(s))
+        tables[p] = np.asarray(taps)
+    return tables
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(_REF_TABLE),
+    reason="reference tables not available",
+)
+def test_taps_match_reference_tables():
+    tables = _parse_reference_tables(_REF_TABLE)
+    assert set(tables) == set(range(1, 11))
+    for p, ref in tables.items():
+        assert len(ref) == 2 * p
+        got = F.daubechies_taps(p)
+        np.testing.assert_allclose(got, ref, atol=2e-15, rtol=0)

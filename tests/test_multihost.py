@@ -52,3 +52,15 @@ def test_plan_config_roundtrip():
     assert plan2.real_dtype == plan.real_dtype
     for a, b in zip(plan.resp, plan2.resp):
         np.testing.assert_allclose(a, b, atol=0)
+
+
+def test_desync_check_multi_axis():
+    """The desync psum must cover every mesh axis and use
+    placement-dependent contributions (a 2-axis mesh regression)."""
+    import jax
+    from non_decimated_wavelets_tpu.parallel import multihost
+
+    mesh = multihost.global_mesh({"x": 4, "y": 2})
+    multihost.assert_mesh_synchronized(mesh)
+    mesh1 = multihost.global_mesh({"x": 8})
+    multihost.assert_mesh_synchronized(mesh1)
