@@ -47,6 +47,20 @@ def _shrink_details(y, lam):
     return jnp.concatenate([y[:1], soft_threshold(y[1:], lam)], axis=0)
 
 
+def _prox(transform, v, lam, level):
+    """``W^T soft(W v, lam)`` (details only). Single-device plans route
+    through the fused ``dec_rec`` iterate (one kernel launch on resident
+    shapes); sharded transforms compose dec/shrink/rec."""
+    from ..plan import NDDWT
+
+    if isinstance(transform, NDDWT) and not hasattr(lam, "shape"):
+        _, xr = transform.dec_rec(v, level, threshold=float(lam), band_axis=0)
+        return xr
+    y = _dec(transform, v, level)
+    y = _shrink_details(y, lam)
+    return _rec(transform, y)
+
+
 def _fwd(x, mask):
     axes = tuple(range(x.ndim))
     return mask * jnp.fft.fftn(x, axes=axes, norm="ortho")
@@ -66,9 +80,7 @@ def ista_step(transform, x, b, mask, lam, step, level):
     """
     grad = _adj(_fwd(x, mask) - b, mask)
     v = x - step * grad
-    y = _dec(transform, v, level)
-    y = _shrink_details(y, lam * step)
-    return _rec(transform, y)
+    return _prox(transform, v, lam * step, level)
 
 
 def fista_cs_mri(transform, b, mask, lam, level=2, iters=20, step=1.0):
@@ -108,9 +120,7 @@ def fista_inpaint(transform, b, mask, lam, level=2, iters=20, step=1.0):
     def prox_grad(z):
         grad = mask * (mask * z - b)
         v = z - step * grad
-        y = _dec(transform, v, level)
-        y = _shrink_details(y, lam * step)
-        return _rec(transform, y)
+        return _prox(transform, v, lam * step, level)
 
     def body(carry, _):
         x, z, t = carry

@@ -27,8 +27,13 @@ def hard_threshold(y: jnp.ndarray, lam) -> jnp.ndarray:
 def denoise(plan, x, level: int, lam, mode: str = "soft"):
     """Threshold detail bands (keep the approximation) and reconstruct.
 
-    ``plan`` is an ``NDDWT`` (band-last public layout is used here).
+    ``plan`` is an ``NDDWT`` (band-last public layout is used here). Soft
+    mode with a static ``lam`` routes through ``plan.dec_rec`` — the fused
+    single-launch iterate on resident-kernel shapes.
     """
+    if mode == "soft" and not hasattr(lam, "shape"):
+        _, rec = plan.dec_rec(x, level, threshold=float(lam))
+        return rec
     thr = {"soft": soft_threshold, "hard": hard_threshold}[mode]
     y = plan.dec(x, level)
     approx = y[..., :1]

@@ -1,0 +1,545 @@
+"""Fused Pallas TPU kernels for the 4D non-decimated DWT.
+
+The reference's 4D engine is either 16 full-size frequency kernels
+(``Functions/nd_dwt_4D.m:394-444``) or 600 hand-unrolled Haar stencil lines
+(``Functions/harr_nddwt_4D.m:248-552``). The XLA direct path here moves
+~45 full-size arrays through HBM per analysis level (the separable fan-out's
+intermediates). These kernels cut that to ~25 by fusing each level into TWO
+``pallas_call``s per direction:
+
+* **lane stage** (axes 2,3): the trailing two axes are flattened into the
+  TPU lane dimension (``L = Z*T``, element ``(z,t)`` at lane ``z*T+t``).
+  A circular Z-correlation is then a *free lane rotate by multiples of T*
+  (``(z-s) mod Z`` preserves ``t`` exactly), and a circular T-correlation is
+  a masked double-rotate: lanes with ``t < s`` take the rotate by ``s-T``,
+  the rest the rotate by ``s`` — both exact periodic wraps. One grid step
+  reads one ``(tx,ty,L)`` tile and writes all 4 (z,t)-band tiles.
+* **leading stage** (axes 0,1): operates on a lane-chunked view
+  ``(.., X, Y, Z/Zc, Zc*T)`` (``Zc*T`` a multiple of 128) so tiles stay
+  small; periodic halos in X/Y are loaded straight from the unpadded array
+  via L/C/R wrap-segment DMAs (sublane extents 8-aligned — the empirical
+  v5e DMA constraint shared with ``pallas_kernels``). Analysis streams the
+  4 lane-stage bands through a double-buffered scratch and emits all 16
+  final bands: details via staged DMAs written *in place* into the aliased
+  multilevel output (concat-free), the approximation via a lane-blocked
+  output. Synthesis streams all 16 band tiles (double-buffered) and
+  accumulates the 4 partial (z,t)-bands.
+
+Synthesis is the exact adjoint of both stages in reverse order, with the
+reference's per-level ``1/16`` (``Functions/nd_dwt_4D.m`` rec
+normalization) folded into the lane-stage accumulator. Multilevel synthesis
+is concat-free via the same band-source-table trick as
+``pallas_kernels._make_rec_kernel``: band 0 of each shallower group streams
+from the previous level's output operand at a static source choice.
+
+Band-order contract (identical to ``ops/direct_path.py``): engine band
+index ``b`` has bit ``k`` = high-pass on spatial axis ``k``, bit 0 fastest
+(``Functions/nd_dwt_4D.m:370-385``). With the leading stage producing
+``a = xbit + 2*ybit`` and the lane stage ``c = zbit + 2*tbit``, the final
+index is ``b = a + 4*c`` — separable correlations commute, so the stage
+order does not change the values, only the (explicit) indexing.
+
+Dispatched from ``pallas_kernels.dec_pallas``/``rec_pallas`` when
+:func:`supported` holds; anything else falls back to the XLA direct path.
+"""
+
+from __future__ import annotations
+
+from math import gcd
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_kernels import _round8
+
+# Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
+# naive stage-sum; this bound maps to the 16MB limit — see
+# pallas_kernels._dec_tiles).
+_BUDGET = 2_400_000
+
+
+def _chunk(Z: int, T: int):
+    """Smallest Zc with ``Zc*T % 128 == 0`` and ``Z % Zc == 0`` (lane-chunk
+    size for the leading stage), or None."""
+    zc0 = 128 // gcd(T, 128)
+    zc = zc0
+    while zc <= Z:
+        if Z % zc == 0:
+            return zc
+        zc += zc0
+    return None
+
+
+def _lane_tiles(X, Y, L):
+    """(tx, ty) for the lane stage: in(1) + out(4) + ~3 temps full-L tiles."""
+    for tx, ty in ((8, 8), (4, 8), (2, 8), (1, 8)):
+        if X % tx == 0 and Y % ty == 0 and 8 * tx * ty * L <= _BUDGET:
+            return (tx, ty)
+    return None
+
+
+def _lead_tiles(X, Y, zct, K0, K1):
+    """(tx, ty) for the leading stage: 2 halo'd bufs + ~6 band tiles + 2
+    stage slots, all at lane extent ``zct``."""
+    for tx, ty in ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8)):
+        if X % tx == 0 and Y % ty == 0:
+            ex0 = tx + K0 - 1
+            ey = ty + 2 * _round8(K1 // 2)
+            live = 2 * ex0 * ey * zct + 8 * tx * ty * zct
+            if live <= _BUDGET:
+                return (tx, ty)
+    return None
+
+
+def supported(shape, dtype, taps_np) -> bool:
+    if len(shape) != 4:
+        return False
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    X, Y, Z, T = shape
+    L = Z * T
+    if L % 128:
+        return False
+    zc = _chunk(Z, T)
+    if zc is None:
+        return False
+    K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+    return (
+        _lane_tiles(X, Y, L) is not None
+        and _lead_tiles(X, Y, zc * T, K0, K1) is not None
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lane-axis correlation machinery (Z and T live in the lane dimension).
+# ---------------------------------------------------------------------------
+
+
+def _t_mask(shape, T, s):
+    """lanes with ``t = lane % T < s`` (the wrap set of a T-rotate by s)."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jax.lax.rem(lane, np.int32(T)) < np.int32(s)
+
+
+def _lane_shift(v, T, is_t: bool, shift: int):
+    """Rotate ``v``'s flattened (Z,T) lane axis circularly along Z
+    (``is_t=False``: plain rotate by ``shift*T``) or along T (masked
+    double-rotate: the ``t < s`` lanes crossed a block boundary and take
+    the rotate by ``s - T`` instead)."""
+    L = v.shape[-1]
+    ax = v.ndim - 1
+    if not is_t:
+        s = (shift * T) % L
+        return pltpu.roll(v, np.int32(s), axis=ax) if s else v
+    s = shift % T
+    if s == 0:
+        return v
+    r_main = pltpu.roll(v, np.int32(s), axis=ax)
+    r_wrap = pltpu.roll(v, np.int32((s - T) % L), axis=ax)
+    return jnp.where(_t_mask(v.shape, T, s), r_wrap, r_main)
+
+
+def _lane_pair(v, taps_np, T, is_t: bool):
+    """(lo, hi) analysis correlations along Z or T, sharing every rotate
+    (anchor ``o = K//2 - 1``, as everywhere in the engine)."""
+    K = taps_np.shape[1]
+    o = K // 2 - 1
+    acc_lo = acc_hi = None
+    for j in range(K):
+        r = _lane_shift(v, T, is_t, o - j)
+        tl = float(taps_np[0, j]) * r
+        th = float(taps_np[1, j]) * r
+        acc_lo = tl if acc_lo is None else acc_lo + tl
+        acc_hi = th if acc_hi is None else acc_hi + th
+    return acc_lo, acc_hi
+
+
+def _lane_adj(v, taps_np, sel: int, T, is_t: bool):
+    """Adjoint pass for one filter row: reversed taps at the mirrored
+    anchor ``o' = K//2`` (same convention as pallas_kernels synthesis)."""
+    K = taps_np.shape[1]
+    trow = taps_np[sel][::-1]
+    o_adj = K // 2
+    acc = None
+    for j in range(K):
+        r = _lane_shift(v, T, is_t, o_adj - j)
+        term = float(trow[j]) * r
+        acc = term if acc is None else acc + term
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Wrap-segment halo DMAs for the leading stage (X outer, Y sublane-aligned).
+# ---------------------------------------------------------------------------
+
+
+def _lead_halos(K0, K1, adjoint: bool):
+    """((h0_l, h0_r), (W, W)): X halos exact, Y halos 8-aligned."""
+    if adjoint:
+        h0 = (K0 // 2, K0 // 2 - 1)
+        h1w = _round8(max(K1 // 2, K1 // 2 - 1))
+    else:
+        h0 = (K0 // 2 - 1, K0 // 2)
+        h1w = _round8(max(K1 // 2 - 1, K1 // 2))
+    return h0, (h1w, h1w)
+
+
+def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot):
+    """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
+    (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
+    (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT)."""
+    per_axis = []
+    for ax in range(2):
+        N = XY[ax]
+        t = tiles[ax]
+        w_l, w_r = halos[ax]
+        base = (i, j)[ax] * np.int32(t)
+        sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
+        sC = base
+        sR = jax.lax.rem(base + np.int32(t), np.int32(N))
+        if ax == 1:
+            # Mosaic must prove sublane alignment of the wrap starts.
+            sL = pl.multiple_of(sL, 8)
+            sC = pl.multiple_of(sC, 8)
+            sR = pl.multiple_of(sR, 8)
+        segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
+        per_axis.append([s for s in segs if s[2] > 0])
+    copies = []
+    for cx in per_axis[0]:
+        for cy in per_axis[1]:
+            src = (
+                np.int32(band),
+                pl.ds(cx[0], cx[2]),
+                pl.ds(cy[0], cy[2]),
+                k,
+                slice(None),
+            )
+            dst = (
+                np.int32(slot),
+                slice(cx[1], cx[1] + cx[2]),
+                slice(cy[1], cy[1] + cy[2]),
+                slice(None),
+            )
+            copies.append(
+                pltpu.make_async_copy(src_ref.at[src], buf_ref.at[dst], sem)
+            )
+    return copies
+
+
+# ---------------------------------------------------------------------------
+# Analysis
+# ---------------------------------------------------------------------------
+
+
+def _lane_dec_call(x3, taps_np, T, tiles):
+    """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read."""
+    X, Y, L = x3.shape
+    tx, ty = tiles
+    tz, tt = taps_np[2], taps_np[3]
+
+    def kernel(x_ref, out_ref):
+        v = x_ref[...]
+        zlo, zhi = _lane_pair(v, tz, T, is_t=False)
+        for zbit, vz in enumerate((zlo, zhi)):
+            tlo, thi = _lane_pair(vz, tt, T, is_t=True)
+            out_ref[np.int32(zbit)] = tlo
+            out_ref[np.int32(zbit + 2)] = thi
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // tx, Y // ty),
+        in_specs=[
+            pl.BlockSpec((tx, ty, L), lambda i, j: (i, j, np.int32(0)))
+        ],
+        out_specs=pl.BlockSpec(
+            (4, tx, ty, L),
+            lambda i, j: (np.int32(0), i, j, np.int32(0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, X, Y, L), x3.dtype),
+    )(x3)
+
+
+def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct):
+    """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
+    DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
+    approximation as a lane-blocked output (X, Y, L)."""
+    _, X, Y, Zcnt, _ = temp5.shape
+    tx, ty = tiles
+    t0, t1 = taps_np[0], taps_np[1]
+    K0, K1 = t0.shape[1], t1.shape[1]
+    halos = _lead_halos(K0, K1, adjoint=False)
+    ex0 = tx + K0 - 1
+    ey = ty + 2 * halos[1][0]
+    start1 = halos[1][0] - (K1 // 2 - 1)
+
+    def kernel(temp_hbm, big_in, big_ref, app_ref, buf, stage, sem_in, sem_out):
+        del big_in  # aliased to big_ref (input_output_aliases)
+        i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        def load(c, slot):
+            return _halo_copies(
+                temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
+                (tx, ty), halos, i, j, k, slot
+            )
+
+        for cp in load(0, 0):
+            cp.start()
+        inflight = [None, None]
+        out_slot = 0
+        for c in range(4):
+            if c + 1 < 4:
+                for cp in load(c + 1, (c + 1) % 2):
+                    cp.start()
+            for cp in load(c, c % 2):
+                cp.wait()
+            v = buf[np.int32(c % 2)]
+            # Axis 1 (sublane) first so extents shrink before the axis-0
+            # fan-out; the aligned surplus halo is absorbed into the slice
+            # starts (no trimming copy).
+            ylo = yhi = None
+            for jj in range(K1):
+                r = v[:, start1 + jj : start1 + jj + ty, :]
+                tl = float(t1[0, jj]) * r
+                th = float(t1[1, jj]) * r
+                ylo = tl if ylo is None else ylo + tl
+                yhi = th if yhi is None else yhi + th
+            for ybit, vy in enumerate((ylo, yhi)):
+                xlo = xhi = None
+                for jj in range(K0):
+                    r = vy[jj : jj + tx, :, :]
+                    tl = float(t0[0, jj]) * r
+                    th = float(t0[1, jj]) * r
+                    xlo = tl if xlo is None else xlo + tl
+                    xhi = th if xhi is None else xhi + th
+                for xbit, val in enumerate((xlo, xhi)):
+                    b = 4 * c + 2 * ybit + xbit
+                    if b == 0:
+                        app_ref[...] = val
+                        continue
+                    if inflight[out_slot] is not None:
+                        inflight[out_slot].wait()
+                    stage[np.int32(out_slot)] = val
+                    cpy = pltpu.make_async_copy(
+                        stage.at[np.int32(out_slot)],
+                        big_ref.at[
+                            (
+                                np.int32(band_off + b - 1),
+                                pl.ds(i * np.int32(tx), tx),
+                                pl.ds(j * np.int32(ty), ty),
+                                k,
+                                slice(None),
+                            )
+                        ],
+                        sem_out.at[np.int32(out_slot)],
+                    )
+                    cpy.start()
+                    inflight[out_slot] = cpy
+                    out_slot ^= 1
+        for cpy in inflight:
+            if cpy is not None:
+                cpy.wait()
+
+    B = big5.shape[0]
+    return pl.pallas_call(
+        kernel,
+        grid=(X // tx, Y // ty, Zcnt),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (tx, ty, zct), lambda i, j, k: (i, j, k)
+            ),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B,) + temp5.shape[1:], temp5.dtype),
+            jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM((2, ex0, ey, zct), temp5.dtype),
+            pltpu.VMEM((2, tx, ty, zct), temp5.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(temp5, big5)
+
+
+def dec4(x, taps_np, level: int):
+    """Multilevel 4D analysis; (X,Y,Z,T) -> (B, X,Y,Z,T). Two fused
+    pallas_calls per level; the only XLA data movement is the final
+    approx-band write."""
+    X, Y, Z, T = x.shape
+    L = Z * T
+    zc = _chunk(Z, T)
+    zct = zc * T
+    Zcnt = Z // zc
+    lane_t = _lane_tiles(X, Y, L)
+    lead_t = _lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
+    nb = 16
+    B = nb + (nb - 1) * (level - 1)
+
+    big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
+    approx = x.reshape(X, Y, L)
+    off = B
+    for _ in range(level):
+        off -= nb - 1
+        temp5 = _lane_dec_call(approx, taps_np, T, lane_t).reshape(
+            4, X, Y, Zcnt, zct
+        )
+        big5, approx = _lead_dec_call(temp5, big5, off, taps_np, lead_t, zct)
+    big5 = big5.at[0].set(approx.reshape(X, Y, Zcnt, zct))
+    return big5.reshape(B, X, Y, Z, T)
+
+
+# ---------------------------------------------------------------------------
+# Synthesis (exact adjoint, streaming, concat-free multilevel)
+# ---------------------------------------------------------------------------
+
+
+def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct):
+    """Adjoint leading stage -> partial (4, X, Y, L) with
+    ``partial[c] = sum_a adj(band[4c+a])``.
+
+    ``band_src[b]`` is ``("y", idx)`` (band ``idx`` of ``y5``) or
+    ``("a", 0)`` (the running approximation operand, shape (X, Y, L)) — the
+    concat-free multilevel trick shared with ``pallas_kernels``. All 16
+    band tiles stream through a 2-slot double buffer."""
+    _, X, Y, Zcnt, _ = y5.shape
+    tx, ty = tiles
+    t0, t1 = taps_np[0], taps_np[1]
+    K0, K1 = t0.shape[1], t1.shape[1]
+    halos = _lead_halos(K0, K1, adjoint=True)
+    ex0 = tx + K0 - 1
+    ey = ty + 2 * halos[1][0]
+    start1 = halos[1][0] - K1 // 2
+    has_approx = any(kind == "a" for kind, _ in band_src)
+
+    def kernel(*args):
+        if has_approx:
+            y_hbm, a_hbm, out_ref, buf, sem_in = args
+        else:
+            y_hbm, out_ref, buf, sem_in = args
+            a_hbm = None
+        i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        def load(b, slot):
+            kind, idx = band_src[b]
+            src = y_hbm if kind == "y" else a_hbm
+            return _halo_copies(
+                src, buf, sem_in.at[np.int32(slot)], idx, (X, Y),
+                (tx, ty), halos, i, j, k, slot
+            )
+
+        for cp in load(0, 0):
+            cp.start()
+        for c in range(4):
+            acc = None
+            for a in range(4):
+                b = 4 * c + a
+                slot = b % 2
+                if b + 1 < 16:
+                    for cp in load(b + 1, (b + 1) % 2):
+                        cp.start()
+                for cp in load(b, slot):
+                    cp.wait()
+                v = buf[np.int32(slot)]
+                trow1 = t1[(a >> 1) & 1][::-1]
+                y1 = None
+                for jj in range(K1):
+                    r = v[:, start1 + jj : start1 + jj + ty, :]
+                    term = float(trow1[jj]) * r
+                    y1 = term if y1 is None else y1 + term
+                trow0 = t0[a & 1][::-1]
+                y0 = None
+                for jj in range(K0):
+                    r = y1[jj : jj + tx, :, :]
+                    term = float(trow0[jj]) * r
+                    y0 = term if y0 is None else y0 + term
+                acc = y0 if acc is None else acc + y0
+            out_ref[np.int32(c)] = acc
+
+    operands = (y5,) if approx is None else (y5, approx)
+    # X-axis adjoint halos are exact (h_l = K0//2): slice start 0 in the
+    # buffered tile already sits at the anchor (start0 = h_l - K0//2 = 0).
+    return pl.pallas_call(
+        kernel,
+        grid=(X // tx, Y // ty, Zcnt),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
+        out_specs=pl.BlockSpec(
+            (4, tx, ty, zct),
+            lambda i, j, k: (np.int32(0), i, j, k),
+        ),
+        out_shape=jax.ShapeDtypeStruct((4, X, Y, Zcnt * zct), y5.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, ex0, ey, zct), y5.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(*operands)
+
+
+def _lane_adj_call(partial, taps_np, T, tiles, scale):
+    """Adjoint lane stage: (4, X, Y, L) -> (X, Y, L); the reference's
+    per-level ``1/2^d`` folded into the accumulate."""
+    _, X, Y, L = partial.shape
+    tx, ty = tiles
+    tz, tt = taps_np[2], taps_np[3]
+
+    def kernel(p_ref, out_ref):
+        acc = None
+        for c in range(4):
+            v = p_ref[np.int32(c)]
+            vt = _lane_adj(v, tt, (c >> 1) & 1, T, is_t=True)
+            vz = _lane_adj(vt, tz, c & 1, T, is_t=False)
+            acc = vz if acc is None else acc + vz
+        if scale != 1.0:
+            acc = acc * scale
+        out_ref[...] = acc
+
+    return pl.pallas_call(
+        kernel,
+        grid=(X // tx, Y // ty),
+        in_specs=[
+            pl.BlockSpec(
+                (4, tx, ty, L),
+                lambda i, j: (np.int32(0), i, j, np.int32(0)),
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (tx, ty, L), lambda i, j: (i, j, np.int32(0))
+        ),
+        out_shape=jax.ShapeDtypeStruct((X, Y, L), partial.dtype),
+    )(partial)
+
+
+def rec4(y, taps_np, level: int, preserve_l2: bool):
+    """Multilevel 4D synthesis; (B, X,Y,Z,T) -> (X,Y,Z,T)."""
+    B, X, Y, Z, T = y.shape
+    L = Z * T
+    zc = _chunk(Z, T)
+    zct = zc * T
+    Zcnt = Z // zc
+    lane_t = _lane_tiles(X, Y, L)
+    lead_t = _lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
+    nb = 16
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+
+    y5 = y.reshape(B, X, Y, Zcnt, zct)
+    band_src = [("y", b) for b in range(nb)]
+    partial = _lead_adj_call(y5, None, band_src, taps_np, lead_t, zct)
+    acc = _lane_adj_call(partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale)
+    pos = nb
+    for _ in range(1, level):
+        band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+        acc5 = acc.reshape(1, X, Y, Zcnt, zct)
+        partial = _lead_adj_call(y5, acc5, band_src, taps_np, lead_t, zct)
+        acc = _lane_adj_call(
+            partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+        )
+        pos += nb - 1
+    return acc.reshape(X, Y, Z, T)

@@ -114,8 +114,16 @@ def _dec_halos(ndim, taps_np_tuple):
 
 
 def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
-                    band_idx=None, slot=None):
-    """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec)."""
+                    band_idx=None, slot=None, padded=None):
+    """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec).
+
+    ``padded[ax]`` marks axes whose source array is already halo-padded by
+    ``w_l``/``w_r`` (the 'valid' mode used inside ``shard_map``, where
+    ppermute supplies the periodic halo from ring neighbors): the three
+    wrap segments collapse to one contiguous copy at offset ``i*t`` and no
+    modular arithmetic — tile ``i`` of the unpadded extent sits at padded
+    rows ``[i*t, i*t + w_l + t + w_r)``.
+    """
     per_axis = []
     for ax in range(len(tiles)):
         N = shape_sp[ax]
@@ -123,6 +131,10 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         w_l, w_r, aligned = halos[ax]
         i = grid_ids[ax]
         base = i * np.int32(t)
+        if padded is not None and padded[ax]:
+            s0 = pl.multiple_of(base, 8) if aligned else base
+            per_axis.append([(s0, 0, w_l + t + w_r)])
+            continue
         sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
         sC = base
         sR = jax.lax.rem(base + np.int32(t), np.int32(N))
@@ -149,12 +161,14 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     return copies
 
 
-def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off):
+def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
+                     padded=None):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
     order (each pass appends its high half as the new MSB; axis 0 ends up
-    at bit 0). Outputs: details (bands 1..2^d-1) and the approximation."""
+    at bit 0). Outputs: details (bands 1..2^d-1) and the approximation.
+    ``padded``: per-leading-axis 'valid' mode (see ``_seg_copies_one``)."""
     nb = 2**ndim
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
@@ -163,7 +177,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off):
         del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
-            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids
+            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded
         )
         for c in copies:
             c.start()
@@ -231,9 +245,16 @@ def _dec_tiles(shape, taps_np):
     if shape[-1] % 128:
         return None
     if ndim == 2:
+        K0 = taps_np[0].shape[1]
         for tx in (256, 128, 64, 32, 16, 8):
             if shape[0] % tx == 0:
-                return (tx,)
+                # Same live-words budget discipline as the 3D branch: a
+                # 4096^2 f32 at tx=256 would blow the 16MB scoped VMEM;
+                # fall to a smaller tile (or None -> XLA fallback).
+                ex0 = tx + 2 * _round8(K0 // 2)
+                live = ex0 * shape[-1] + 8 * tx * shape[-1]
+                if live <= 2_400_000:
+                    return (tx,)
         return None
     for tx, ty in ((16, 16), (8, 16), (8, 8)):
         if shape[0] % tx == 0 and shape[1] % ty == 0:
@@ -248,12 +269,17 @@ def _dec_tiles(shape, taps_np):
     return None
 
 
-def _fused_dec_level(x, big, band_off, taps_np):
+def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
-    (big, next approx)."""
-    ndim = x.ndim
-    shape = x.shape
+    (big, next approx).
+
+    ``shape``/``padded``: 'valid' mode — ``x`` is already halo-padded on
+    the ``padded`` leading axes (by the ``_dec_halos`` widths) and
+    ``shape`` is the unpadded output shape."""
+    if shape is None:
+        shape = x.shape
+    ndim = len(shape)
     nb = 2**ndim
     tiles = _dec_tiles(shape, taps_np)
     if tiles is None:
@@ -268,7 +294,7 @@ def _fused_dec_level(x, big, band_off, taps_np):
 
     B = big.shape[0]
     return pl.pallas_call(
-        _make_dec_kernel(ndim, tiles, shape, taps_np, band_off),
+        _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -313,6 +339,11 @@ def dec_pallas(x, taps, level: int):
 
     if pallas_resident.resident_supported(x.shape, x.dtype, taps_np):
         return pallas_resident.dec_resident(x, taps_np, level)
+    if x.ndim == 4:
+        from . import pallas_4d
+
+        if pallas_4d.supported(x.shape, x.dtype, taps_np):
+            return pallas_4d.dec4(x, taps_np, level)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         return direct_path.dec_direct(x, taps, level)
     ndim = x.ndim
@@ -339,9 +370,13 @@ def _rec_tiles(shape, taps_np):
     if shape[-1] % 128:
         return None
     if ndim == 2:
+        K0 = taps_np[0].shape[1]
         for tx in (512, 256, 128, 64, 32, 16):
             if shape[0] % tx == 0:
-                return (tx,)
+                ex0 = tx + 2 * _round8(max(K0 // 2, K0 // 2 - 1))
+                live = 4 * ex0 * shape[-1] + 2 * tx * shape[-1]
+                if live <= 3_400_000:
+                    return (tx,)
         return None
     for tx, ty in ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8)):
         if shape[0] % tx == 0 and shape[1] % ty == 0:
@@ -356,7 +391,24 @@ def _rec_tiles(shape, taps_np):
     return None
 
 
-def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale):
+def _rec_halos(ndim, taps_np_tuple):
+    """(w_l, w_r, aligned) per leading axis for the adjoint anchor
+    (o' = K//2 left, K//2-1 right); sublane axis 8-aligned."""
+    n_lead = ndim - 1
+    halos = []
+    for ax in range(n_lead):
+        K = taps_np_tuple[ax].shape[1]
+        h_l, h_r = K // 2, K // 2 - 1
+        if ax == n_lead - 1:
+            W = _round8(max(h_l, h_r))
+            halos.append((W, W, True))
+        else:
+            halos.append((h_l, h_r, False))
+    return halos
+
+
+def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
+                     padded=None):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -373,19 +425,11 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale):
     n_lead = ndim - 1
     has_approx = any(kind == "a" for kind, _ in band_src)
     NSLOT = 3  # prefetch depth: 2 stalls on the 27-DMA segment batches
-    # Halo widths per leading axis. Only the sublane dimension (the last
-    # leading axis) requires 8-aligned DMA extents/starts (probed on v5e:
-    # odd sublane extents fail, outer-dim extents/starts are free), so
-    # outer axes use the exact adjoint halo.
-    halos = []
-    for ax in range(n_lead):
-        K = taps_np_tuple[ax].shape[1]
-        h_l, h_r = K // 2, K // 2 - 1  # adjoint halo
-        if ax == n_lead - 1:
-            W = _round8(max(h_l, h_r))
-            halos.append((W, W, True))
-        else:
-            halos.append((h_l, h_r, False))
+    # Halo widths per leading axis (_rec_halos): only the sublane dimension
+    # requires 8-aligned DMA extents/starts (probed on v5e: odd sublane
+    # extents fail, outer-dim extents/starts are free), so outer axes use
+    # the exact adjoint halo.
+    halos = _rec_halos(ndim, taps_np_tuple)
 
     def kernel(*args):
         if has_approx:
@@ -396,49 +440,14 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale):
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
         def seg_copies(b, slot):
-            # L/C/R segments per leading axis; cross product = rectangles.
-            per_axis = []
-            for ax in range(n_lead):
-                N = shape_sp[ax]
-                t = tiles[ax]
-                w_l, w_r, aligned = halos[ax]
-                i = grid_ids[ax]
-                # np.int32 everywhere: x64 mode must not promote to i64.
-                base = i * np.int32(t)
-                sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
-                sC = base
-                sR = jax.lax.rem(base + np.int32(t), np.int32(N))
-                if aligned:
-                    # pl.multiple_of: Mosaic must prove sublane alignment
-                    # of the dynamic wrap starts.
-                    sL = pl.multiple_of(sL, 8)
-                    sC = pl.multiple_of(sC, 8)
-                    sR = pl.multiple_of(sR, 8)
-                segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
-                # db1's adjoint right halo is zero — drop empty segments.
-                per_axis.append([s for s in segs if s[2] > 0])
-            combos = [[]]
-            for segs in per_axis:
-                combos = [c + [s] for c in combos for s in segs]
             kind, idx = band_src[b]
             src_ref = a_hbm if kind == "a" else y_hbm
-            copies = []
-            for combo in combos:
-                # np.int32 scalar indices: Python ints lower to i64 under
-                # jax_enable_x64, which tpu.memref_slice rejects.
-                spatial = tuple(pl.ds(s, e) for s, _, e in combo) + (
-                    slice(None),
-                )
-                src = spatial if kind == "a" else (np.int32(idx),) + spatial
-                dst = (np.int32(slot),) + tuple(
-                    slice(off, off + e) for _, off, e in combo
-                ) + (slice(None),)
-                copies.append(
-                    pltpu.make_async_copy(
-                        src_ref.at[src], bufs.at[dst], sems.at[np.int32(slot)]
-                    )
-                )
-            return copies
+            return _seg_copies_one(
+                src_ref, bufs, sems.at[np.int32(slot)], shape_sp, tiles,
+                halos, grid_ids,
+                band_idx=None if kind == "a" else idx,
+                slot=slot, padded=padded,
+            )
 
         for pre in range(min(NSLOT - 1, nb)):
             for c in seg_copies(pre, pre % NSLOT):
@@ -492,8 +501,13 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale):
     return kernel
 
 
-def _fused_rec_level(y_all, approx, band_src, taps_np, scale):
-    shape = y_all.shape[1:]
+def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
+                     padded=None):
+    """'valid' mode (``shape``/``padded``): band arrays already halo-padded
+    on the ``padded`` leading axes by the ``_rec_halos`` widths; ``shape``
+    is the unpadded output shape."""
+    if shape is None:
+        shape = y_all.shape[1:]
     ndim = len(shape)
     tiles = _rec_tiles(shape, taps_np)
     if tiles is None:
@@ -501,19 +515,15 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale):
 
     n_lead = ndim - 1
     grid = tuple(shape[ax] // tiles[ax] for ax in range(n_lead))
-    buf_rows = []
-    for ax in range(n_lead):
-        K = taps_np[ax].shape[1]
-        if ax == n_lead - 1:
-            W = _round8(max(K // 2, K // 2 - 1))
-            buf_rows.append(tiles[ax] + 2 * W)
-        else:
-            buf_rows.append(tiles[ax] + K - 1)
+    halos = _rec_halos(ndim, taps_np)
+    buf_rows = [
+        tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
+    ]
     buf_tile = (3,) + tuple(buf_rows) + (shape[-1],)
 
     operands = (y_all,) if approx is None else (y_all, approx)
     return pl.pallas_call(
-        _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale),
+        _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale, padded),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(
@@ -545,6 +555,11 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
 
     if pallas_resident.resident_supported(shape, y.dtype, taps_np):
         return pallas_resident.rec_resident(y, taps_np, level, preserve_l2)
+    if ndim == 4:
+        from . import pallas_4d
+
+        if pallas_4d.supported(shape, y.dtype, taps_np):
+            return pallas_4d.rec4(y, taps_np, level, preserve_l2)
     if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim

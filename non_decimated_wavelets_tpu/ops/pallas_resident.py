@@ -170,6 +170,197 @@ def dec_resident(x, taps_np, level: int):
     return out.reshape((B,) + shape)
 
 
+def _dec_phase(x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
+               ndim_sp, Ks, level, B, nb, ax_off, lam):
+    """Shared analysis body: multilevel band fan-out with staged HBM
+    writes; detail bands are soft-thresholded by ``lam`` before the write
+    (``lam=0`` leaves them untouched — used by the fused pair kernel)."""
+    dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
+    dma.start()
+    dma.wait()
+    approx = xbuf[...]
+
+    def write_band(idx, val, slot):
+        stage[np.int32(slot)] = val
+        c = pltpu.make_async_copy(
+            stage.at[np.int32(slot)],
+            out_hbm.at[np.int32(idx)],
+            sem_out.at[np.int32(slot)],
+        )
+        c.start()
+        return c
+
+    def shrink(v):
+        if not lam:
+            return v
+        mag = jnp.abs(v)
+        return v * (jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30))
+
+    inflight = [None, None]
+    slot = 0
+    off = B
+    for lvl in range(level):
+        def band_val(b, approx=approx):
+            v = approx
+            for ax in range(ndim_sp):
+                o = Ks[ax] // 2 - 1
+                v = _corr_fori(
+                    v, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, False
+                )
+            return v
+
+        new_approx = band_val(0)
+        off -= nb - 1
+        for b in range(1, nb):
+            if inflight[slot] is not None:
+                inflight[slot].wait()
+            inflight[slot] = write_band(off + b - 1, shrink(band_val(b)), slot)
+            slot ^= 1
+        approx = new_approx
+    if inflight[slot] is not None:
+        inflight[slot].wait()
+    inflight[slot] = write_band(0, approx, slot)
+    for c in inflight:
+        if c is not None:
+            c.wait()
+
+
+def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
+               bufs, sem_in):
+    """Shared synthesis body: streamed band reads, returns the
+    reconstruction value (in VMEM)."""
+    reads = []
+    pos = nb
+    for lvl in range(level):
+        if lvl == 0:
+            reads.extend(range(nb))
+        else:
+            reads.append(None)
+            reads.extend(range(pos, pos + nb - 1))
+            pos += nb - 1
+
+    def start_read(step, slot):
+        idx = reads[step]
+        if idx is None:
+            return None
+        c = pltpu.make_async_copy(
+            y_hbm.at[np.int32(idx)],
+            bufs.at[np.int32(slot)],
+            sem_in.at[np.int32(slot)],
+        )
+        c.start()
+        return c
+
+    inflight = {}
+    if len(reads) > 0:
+        inflight[0] = start_read(0, 0)
+
+    acc = None
+    step = 0
+    for lvl in range(level):
+        lvl_acc = None
+        for b in range(nb):
+            nxt = step + 1
+            if nxt < len(reads):
+                inflight[nxt] = start_read(nxt, nxt % 2)
+            c = inflight.pop(step, None)
+            if c is not None:
+                c.wait()
+                v = bufs[np.int32(step % 2)]
+            else:
+                v = acc  # running approximation, already in VMEM
+            contrib = v
+            for ax in range(ndim_sp):
+                o = Ks[ax] // 2 - 1
+                contrib = _corr_fori(
+                    contrib, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, True
+                )
+            lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
+            step += 1
+        acc = lvl_acc * scale if scale != 1.0 else lvl_acc
+    return acc
+
+
+def _make_res_pair_kernel(ndim_sp, lifted, Ks, level, B, nb, scale, lam):
+    """Whole dec -> soft-threshold(details) -> rec iterate in ONE launch.
+
+    The launch floor on the tunneled TPU is ~1.5 ms/kernel, which dominates
+    small transforms (VERDICT r1: 6.4 ms for a 1D@1024 pair); fusing the
+    iterate halves the launches and drops the XLA glue between them. The
+    band array is still written to HBM (it is a real output — iterative
+    algorithms inspect it), overlapped with compute via the staged DMAs."""
+    ax_off = len(lifted) - ndim_sp
+
+    def kernel(x_hbm, *rest):
+        taps_refs = rest[:ndim_sp]
+        y_hbm, xr_hbm = rest[ndim_sp], rest[ndim_sp + 1]
+        xbuf, stage, bufs, sem_in, sem_out, sem_rd, sem_wr = rest[ndim_sp + 2 :]
+        _dec_phase(
+            x_hbm, taps_refs, y_hbm, xbuf, stage, sem_in, sem_out,
+            ndim_sp, Ks, level, B, nb, ax_off, lam,
+        )
+        acc = _rec_phase(
+            y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
+            bufs, sem_rd,
+        )
+        xbuf[...] = acc
+        c = pltpu.make_async_copy(xbuf, xr_hbm, sem_wr)
+        c.start()
+        c.wait()
+
+    return kernel
+
+
+def pair_resident(x, taps_np, level: int, preserve_l2: bool, lam: float = 0.0):
+    """Fused multilevel dec + soft-threshold + rec; returns (bands, recon).
+
+    ``lam=0`` is the plain round-trip pair (benchmark / frame tests);
+    ``lam>0`` is cycle-spinning denoising / the FISTA prox step in a single
+    kernel launch."""
+    shape = x.shape
+    ndim_sp = len(shape)
+    nb = 2**ndim_sp
+    B = nb + (nb - 1) * (level - 1)
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+    lifted = _lifted_shape(shape)
+    xl = x.reshape(lifted)
+    Ks = tuple(t.shape[1] for t in taps_np)
+    taps_ops = [jnp.asarray(t, x.dtype) for t in taps_np]
+
+    y, xr = pl.pallas_call(
+        _make_res_pair_kernel(ndim_sp, lifted, Ks, level, B, nb, scale,
+                              float(lam)),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                t.shape,
+                lambda i: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_np
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B,) + lifted, x.dtype),
+            jax.ShapeDtypeStruct(lifted, x.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM(lifted, x.dtype),
+            pltpu.VMEM((2,) + lifted, x.dtype),
+            pltpu.VMEM((2,) + lifted, x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(xl, *taps_ops)
+    return y.reshape((B,) + shape), xr.reshape(shape)
+
+
 def _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale):
     ax_off = len(lifted) - ndim_sp
 

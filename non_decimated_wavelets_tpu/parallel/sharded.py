@@ -196,6 +196,74 @@ def _rec_body(y, taps, level, preserve_l2, axis_names):
     return acc
 
 
+# --------------------------------------------------------------------------
+# Pallas-accelerated shard bodies ('valid'-mode fused level kernels fed by
+# ppermute halos — the sharded counterpart of the single-chip Pallas path,
+# so per-chip multi-chip throughput matches single-chip instead of the
+# ~8x-slower XLA roll/pad lowering).
+# --------------------------------------------------------------------------
+
+
+def _pad_sharded_axes(arr, axis_names, halos, ndim, lead_off):
+    """Halo-pad every *sharded* leading spatial axis of ``arr`` via
+    ppermute (widths from the kernel halo table); unsharded axes stay — the
+    kernel handles their periodic wrap with L/C/R segment DMAs locally."""
+    for ax in range(ndim - 1):
+        name = axis_names[ax]
+        if name is None:
+            continue
+        w_l, w_r, _ = halos[ax]
+        arr = _halo_pad(arr, lead_off + ax, name, w_l, w_r)
+    return arr
+
+
+def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
+    from ..ops import pallas_kernels as pk
+
+    ndim = len(taps_np)
+    nb = 2**ndim
+    B = nb + (nb - 1) * (level - 1)
+    halos = pk._dec_halos(ndim, taps_np)
+    padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
+    big = jnp.empty((B,) + tuple(local_shape), x.dtype)
+    approx = x
+    off = B
+    for _ in range(level):
+        off -= nb - 1
+        xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
+        big, approx = pk._fused_dec_level(
+            xp, big, off, taps_np, shape=tuple(local_shape), padded=padded
+        )
+    return big.at[0].set(approx)
+
+
+def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
+    from ..ops import pallas_kernels as pk
+
+    ndim = len(taps_np)
+    nb = 2**ndim
+    halos = pk._rec_halos(ndim, taps_np)
+    padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+
+    yp = _pad_sharded_axes(y, axis_names, halos, ndim, 1)
+    band_src = [("y", b) for b in range(nb)]
+    acc = pk._fused_rec_level(
+        yp, None, band_src, taps_np, scale,
+        shape=tuple(local_shape), padded=padded,
+    )
+    pos = nb
+    for _ in range(1, level):
+        accp = _pad_sharded_axes(acc, axis_names, halos, ndim, 0)
+        band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+        acc = pk._fused_rec_level(
+            yp, accp, band_src, taps_np, scale,
+            shape=tuple(local_shape), padded=padded,
+        )
+        pos += nb - 1
+    return acc
+
+
 class ShardedNDDWT:
     """A plan bound to a mesh and a spatial partitioning.
 
@@ -210,7 +278,8 @@ class ShardedNDDWT:
     validates this at construction.
     """
 
-    def __init__(self, plan: NDDWT, mesh: Mesh, spec, batch_spec=()):
+    def __init__(self, plan: NDDWT, mesh: Mesh, spec, batch_spec=(),
+                 use_pallas="auto"):
         spec = tuple(spec)
         batch_spec = tuple(batch_spec)
         if len(spec) != plan.ndim:
@@ -246,23 +315,82 @@ class ShardedNDDWT:
         self._dec_cache = {}
         self._rec_cache = {}
 
+        self._local_shape = tuple(
+            plan.shape[ax] // (mesh.shape[spec[ax]] if spec[ax] else 1)
+            for ax in range(plan.ndim)
+        )
+        feasible = self._pallas_feasible()
+        if use_pallas == "auto":
+            # Interpreter-mode Pallas on CPU is test-only; real meshes on
+            # an accelerator get the fused kernels whenever they tile.
+            import jax as _jax
+
+            self.use_pallas = feasible and _jax.default_backend() != "cpu"
+        else:
+            self.use_pallas = bool(use_pallas)
+            if self.use_pallas and not feasible:
+                raise ValueError(
+                    "use_pallas=True but the local shard shape "
+                    f"{self._local_shape} / dtype / spec does not support "
+                    "the fused kernels (lane axis must be unsharded and a "
+                    "multiple of 128, no batch axes, f32/bf16, halo <= "
+                    "local extent)"
+                )
+
+    def _pallas_feasible(self) -> bool:
+        from ..ops import pallas_kernels as pk
+
+        plan = self.plan
+        if self.batch_spec:
+            return False
+        if self.spec[-1] is not None:
+            return False  # lane axis must be local (kernel wrap = lane roll)
+        taps_np = tuple(np.asarray(t) for t in plan.taps)
+        ls = self._local_shape
+        if not pk._supported(ls, plan.real_dtype):
+            return False
+        if pk._dec_tiles(ls, taps_np) is None or pk._rec_tiles(ls, taps_np) is None:
+            return False
+        dec_h = pk._dec_halos(plan.ndim, taps_np)
+        rec_h = pk._rec_halos(plan.ndim, taps_np)
+        for ax in range(plan.ndim - 1):
+            if self.spec[ax] is None:
+                continue
+            w = max(dec_h[ax][0], dec_h[ax][1], rec_h[ax][0], rec_h[ax][1])
+            if ls[ax] < w:
+                return False
+        return True
+
     # ------------------------------------------------------------------ dec
     def dec_fn(self, level: int):
         """Jitted sharded analysis: (sharded x) -> (B, *spatial) sharded."""
         level = int(level)
         if level not in self._dec_cache:
-            body = partial(
-                _dec_body, level=level, axis_names=self.spec
-            )
-            mapped = jax.shard_map(
-                lambda x, taps: body(x, taps),
-                mesh=self.mesh,
-                in_specs=(self.x_spec, P()),
-                out_specs=self.y_spec,
-            )
-            self._dec_cache[level] = jax.jit(
-                lambda x: mapped(x, self.plan.taps)
-            )
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                body = partial(
+                    _dec_body_pallas, taps_np=taps_np, level=level,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(self.x_spec,), out_specs=self.y_spec,
+                    check_vma=False,  # pallas_call emits vma-less avals
+                )
+                self._dec_cache[level] = jax.jit(mapped)
+            else:
+                body = partial(
+                    _dec_body, level=level, axis_names=self.spec
+                )
+                mapped = jax.shard_map(
+                    lambda x, taps: body(x, taps),
+                    mesh=self.mesh,
+                    in_specs=(self.x_spec, P()),
+                    out_specs=self.y_spec,
+                )
+                self._dec_cache[level] = jax.jit(
+                    lambda x: mapped(x, self.plan.taps)
+                )
         return self._dec_cache[level]
 
     def dec(self, x, level: int):
@@ -272,21 +400,35 @@ class ShardedNDDWT:
     def rec_fn(self, level: int):
         level = int(level)
         if level not in self._rec_cache:
-            body = partial(
-                _rec_body,
-                level=level,
-                preserve_l2=self.plan.preserve_l2,
-                axis_names=self.spec,
-            )
-            mapped = jax.shard_map(
-                lambda y, taps: body(y, taps),
-                mesh=self.mesh,
-                in_specs=(self.y_spec, P()),
-                out_specs=self.x_spec,
-            )
-            self._rec_cache[level] = jax.jit(
-                lambda y: mapped(y, self.plan.taps)
-            )
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                body = partial(
+                    _rec_body_pallas, taps_np=taps_np, level=level,
+                    preserve_l2=self.plan.preserve_l2,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(self.y_spec,), out_specs=self.x_spec,
+                    check_vma=False,  # pallas_call emits vma-less avals
+                )
+                self._rec_cache[level] = jax.jit(mapped)
+            else:
+                body = partial(
+                    _rec_body,
+                    level=level,
+                    preserve_l2=self.plan.preserve_l2,
+                    axis_names=self.spec,
+                )
+                mapped = jax.shard_map(
+                    lambda y, taps: body(y, taps),
+                    mesh=self.mesh,
+                    in_specs=(self.y_spec, P()),
+                    out_specs=self.x_spec,
+                )
+                self._rec_cache[level] = jax.jit(
+                    lambda y: mapped(y, self.plan.taps)
+                )
         return self._rec_cache[level]
 
     def rec(self, y):

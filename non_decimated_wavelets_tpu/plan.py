@@ -135,6 +135,21 @@ class NDDWT:
 
     # ------------------------------------------------------------------ paths
     def _resolve_path(self, is_complex: bool) -> str:
+        if is_complex and jax.default_backend() not in ("cpu",):
+            # The available TPU backend implements no complex arithmetic at
+            # all — c64 elementwise, c64 FFT, and c128 FFT all fail (or
+            # hang) at *execution* time, after tracing succeeds. Refuse at
+            # trace time instead of leaving a silent runtime landmine. The
+            # reference handles complex natively everywhere
+            # (Functions/nd_dwt_3D.m:150-154); on this backend the exact
+            # equivalent is the split re/im pair path (real filters, so
+            # re/im transform independently).
+            raise ValueError(
+                "complex input on an accelerator backend without complex "
+                "arithmetic support: use plan.dec_split/plan.rec_split on "
+                "jnp.stack([x.real, x.imag]) (numerically identical — the "
+                "filters are real), or run this transform on CPU"
+            )
         if self.path != "auto":
             if (
                 self.path == "fft"
@@ -179,6 +194,11 @@ class NDDWT:
                 and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
             ):
                 return "pallas"
+            if self.ndim == 4:
+                from .ops import pallas_4d
+
+                if pallas_4d.supported(self.shape, self.real_dtype, taps_np):
+                    return "pallas"
         if on_accel or max(self.filter_lengths) <= 12:
             return "direct"
         return "fft"
@@ -248,6 +268,59 @@ class NDDWT:
             else:
                 x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
         return x
+
+    # ------------------------------------------------------- fused iterate
+    def dec_rec(self, x, level: int, threshold: float = 0.0,
+                band_axis: int = -1):
+        """One fused analysis -> soft-threshold(details) -> synthesis
+        iterate; returns ``(bands, reconstruction)``.
+
+        This is the inner loop of every iterative algorithm the reference
+        was built for (``README.md:2``): with ``threshold=0`` it is the
+        plain round-trip pair, with ``threshold>0`` the cycle-spinning
+        denoise / FISTA prox step. On shapes served by the resident Pallas
+        kernels the whole iterate runs in ONE kernel launch — the
+        per-launch latency (~1.5 ms on the tunneled v5e) otherwise
+        dominates small transforms.
+        """
+        level = int(level)
+        if level < 1:
+            raise ValueError(f"level must be >= 1, got {level}")
+        x = jnp.asarray(x)
+        if x.shape != self.shape:
+            raise ValueError(
+                f"input shape {x.shape} does not match plan shape {self.shape}"
+            )
+        is_complex = jnp.iscomplexobj(x)
+        x = x.astype(self.complex_dtype if is_complex else self.real_dtype)
+        path = self._resolve_path(is_complex)
+        y = None
+        if path == "pallas" and not is_complex:
+            from .ops import pallas_resident
+
+            taps_np = tuple(np.asarray(t) for t in self.taps)
+            if pallas_resident.resident_supported(
+                self.shape, self.real_dtype, taps_np
+            ):
+                with jax.named_scope(f"nddwt.dec_rec.pair.L{level}"):
+                    y, xr = pallas_resident.pair_resident(
+                        x, taps_np, level, self.preserve_l2, float(threshold)
+                    )
+        if y is None:
+            y = self.dec(x, level, band_axis=0)
+            if threshold:
+                mag = jnp.abs(y[1:])
+                shrunk = y[1:] * (
+                    jnp.maximum(mag - threshold, 0.0)
+                    / jnp.maximum(mag, 1e-30)
+                )
+                y = jnp.concatenate([y[:1], shrunk], axis=0)
+            xr = self.rec(y, band_axis=0)
+        if band_axis in (-1, y.ndim - 1):
+            y = jnp.moveaxis(y, 0, -1)
+        elif band_axis != 0:
+            raise ValueError("band_axis must be 0 or -1")
+        return y, xr
 
     # ---------------------------------------------------------- split-complex
     def dec_split(self, x_pair, level: int):

@@ -114,3 +114,98 @@ def test_long_filters_tiled(shape, wv, level, rng):
         xr = pallas_kernels.rec_pallas(yd, plan.taps, level, False)
     np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=2e-5)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# 4D two-stage kernels (lane-flattened Z,T + halo'd leading axes).
+# --------------------------------------------------------------------------
+from non_decimated_wavelets_tpu.ops import pallas_4d
+
+
+CASES_4D = [
+    ((8, 8, 4, 32), "db2", 2),
+    ((8, 16, 8, 16), ("db1", "db2", "db3", "db2"), 1),
+    ((16, 8, 4, 32), "db1", 3),
+]
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES_4D)
+def test_4d_dec_matches_direct(shape, wv, level, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    assert pallas_4d.supported(shape, jnp.float32, taps_np)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yp = pallas_4d.dec4(x, taps_np, level)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES_4D[:2])
+@pytest.mark.parametrize("pl2", [False, True])
+def test_4d_rec_roundtrip(shape, wv, level, pl2, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    with pltpu.force_tpu_interpret_mode():
+        xr = pallas_4d.rec4(yd, taps_np, level, pl2)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_4d_unsupported_falls_back(rng):
+    """Odd lane extents fall back to the XLA direct path via dec_pallas."""
+    shape = (6, 6, 5, 5)  # L=25, not a multiple of 128
+    plan = nw.NDDWT(wavelet="db1", shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    assert not pallas_4d.supported(shape, jnp.float32, taps_np)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    y = pallas_kernels.dec_pallas(x, plan.taps, 2)
+    yd = direct_path.dec_direct(x, plan.taps, 2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=0)
+
+
+# --------------------------------------------------------------------------
+# Fused dec+threshold+rec pair kernel (single launch).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,wv,level,lam",
+    [
+        ((1024,), "db4", 3, 0.0),
+        ((1024,), "db4", 3, 0.1),
+        ((64, 128), ("db3", "db5"), 2, 0.05),
+    ],
+)
+@pytest.mark.parametrize("pl2", [False, True])
+def test_pair_resident_matches_compose(shape, wv, level, lam, pl2, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    assert pallas_resident.resident_supported(shape, jnp.float32, taps_np)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y, xr = pallas_resident.pair_resident(x, taps_np, level, pl2, lam)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    if lam:
+        from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+
+        yd = jnp.concatenate([yd[:1], soft_threshold(yd[1:], lam)], axis=0)
+    xd = direct_path.rec_direct(yd, plan.taps, level, pl2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xd), atol=1e-4)
+
+
+def test_plan_dec_rec_api(rng):
+    """plan.dec_rec: XLA fallback path equals dec + shrink + rec."""
+    plan = nw.NDDWT(wavelet="db2", shape=(24, 24), dtype="double")
+    x = rng.standard_normal((24, 24))
+    y, xr = plan.dec_rec(x, 2, threshold=0.1, band_axis=0)
+    yd = plan.dec(x, 2, band_axis=0)
+    from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+
+    yd = jnp.concatenate([yd[:1], soft_threshold(yd[1:], 0.1)], axis=0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(xr), np.asarray(plan.rec(yd, band_axis=0)), atol=1e-12
+    )

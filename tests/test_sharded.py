@@ -142,3 +142,46 @@ def test_batch_spec_composes_with_spatial(rng):
         np.testing.assert_allclose(np.asarray(y[:, i]), gold, atol=1e-12)
     xr = sh.rec(y)
     np.testing.assert_allclose(np.asarray(xr), xb, atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# Pallas 'valid'-mode kernels inside shard_map (interpreter mode): the
+# multi-chip compute path must match the oracle exactly, including the
+# first<->last shard wrap riding ppermute.
+# --------------------------------------------------------------------------
+from jax.experimental.pallas import tpu as pltpu
+
+
+@pytest.mark.parametrize(
+    "shape,wv,spec,mesh_shape,level",
+    [
+        ((64, 256), "db4", ("x", None), {"x": 4}, 2),
+        ((32, 32, 128), ("db2", "db3", "db4"), ("x", "y", None), {"x": 2, "y": 2}, 2),
+        ((16, 16, 128), "db1", ("x", None, None), {"x": 2}, 3),
+    ],
+)
+@pytest.mark.parametrize("pl2", [False, True])
+def test_sharded_pallas_matches_oracle(shape, wv, spec, mesh_shape, level, pl2, rng):
+    _skip_if_few_devices(int(np.prod(list(mesh_shape.values()))))
+    mesh = make_mesh(mesh_shape)
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    sh = ShardedNDDWT(plan, mesh, spec, use_pallas=True)
+    assert sh.use_pallas
+    x = rng.standard_normal(shape).astype(np.float32)
+    xs = sh.shard_input(jnp.asarray(x))
+    with pltpu.force_tpu_interpret_mode():
+        y = sh.dec(xs, level)
+        xr = sh.rec(y)
+    gold = np.moveaxis(
+        oracle.dec(np.asarray(x, np.float64), wv, level, preserve_l2=pl2), -1, 0
+    )
+    np.testing.assert_allclose(np.asarray(y), gold, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xr), x, atol=1e-4)
+
+
+def test_sharded_pallas_infeasible_raises():
+    _skip_if_few_devices(8)
+    mesh = make_mesh({"x": 8})
+    plan = nw.NDDWT(wavelet="db2", shape=(64, 50), dtype=jnp.float32)
+    with pytest.raises(ValueError, match="use_pallas"):
+        ShardedNDDWT(plan, mesh, ("x", None), use_pallas=True)
