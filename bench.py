@@ -4,10 +4,10 @@
 
 Headline config (BASELINE.md): 3-level db4 NDDWT on a 256^3 volume —
 voxels/sec/chip for a full dec+rec pair, float32, on the available
-accelerator. ``vs_baseline`` is the speedup over a single-core CPU
-FFT-path implementation of the same transform (the stand-in for the
-reference's single-core MEX backend, ``mex/nddwt.c`` — FFTW fast
-convolution; the reference itself publishes no numbers, BASELINE.md).
+accelerator. ``vs_baseline`` is the speedup over the in-tree native C++
+engine (``native/nddwt_cpu.cpp``) run SINGLE-CORE — the honest
+apples-to-apples stand-in for the reference's single-core MEX backend
+(``mex/nddwt.c``; the reference itself publishes no numbers, BASELINE.md).
 
 Details (all configs, recon error, baseline timings) go to stderr.
 Env knobs: BENCH_FAST=1 shrinks sizes/iters for smoke runs.
@@ -35,8 +35,8 @@ def _sync(arr):
     return float(jnp.sum(jnp.ravel(arr)[:1]))
 
 
-def time_pair(dec_fn, rec_fn, x, iters):
-    """Steady-state wall time of a dec+rec pair inside a jitted scan loop.
+def time_loop(step_fn, x, iters):
+    """Steady-state wall time of ``step_fn`` inside a jitted scan loop.
 
     The reference exists for iterative algorithms applying the transform
     hundreds of times (README.md:2); the honest measurement is the fully
@@ -44,10 +44,9 @@ def time_pair(dec_fn, rec_fn, x, iters):
     the tunneled TPU.
     """
     import jax
-    import jax.numpy as jnp
 
     def body(carry, _):
-        return rec_fn(dec_fn(carry)), None
+        return step_fn(carry), None
 
     @jax.jit
     def loop(v):
@@ -60,56 +59,43 @@ def time_pair(dec_fn, rec_fn, x, iters):
     return (time.perf_counter() - t0) / iters
 
 
-def mex_style_pair(x, wavelet, level):
-    """Single-core CPU dec+rec mirroring the reference MEX algorithm.
+def time_pair(dec_fn, rec_fn, x, iters):
+    return time_loop(lambda v: rec_fn(dec_fn(v)), x, iters)
 
-    Precomputed full-size frequency kernels (as ``Functions/nd_dwt_3D.m:334-341``
-    caches), then dec = fftn + per-band multiply + ifftn with the approx
-    band re-FFT'd per level (``mex/nddwt.c:216-233``), rec = the conjugate
-    accumulation (``mex/nddwt.c:142-186``). NumPy's pocketfft stands in for
-    FFTW (same asymptotics, comparable single-thread throughput).
-    Returns (t_dec, t_rec).
-    """
-    from non_decimated_wavelets_tpu import filters as flt
 
-    shape, d = x.shape, x.ndim
-    nb = 2**d
-    F = [flt.frequency_response(wavelet, n) for n in shape]
-    kernels = []
-    for b in range(nb):
-        t = np.ones((1,) * d, dtype=np.complex128)
-        for ax in range(d):
-            shp = [1] * d
-            shp[ax] = shape[ax]
-            t = t * F[ax][(b >> ax) & 1].reshape(shp)
-        kernels.append(t)
+def _cache(path):
+    if os.path.exists(path):
+        try:
+            return json.load(open(path))
+        except Exception:
+            pass
+    return {}
 
-    t0 = time.perf_counter()
-    X = np.fft.fftn(x)
-    bands = []
-    approx_f = X
-    for _ in range(level):
-        lvl_bands = [np.fft.ifftn(approx_f * kernels[b]) for b in range(nb)]
-        approx_f = np.fft.fftn(lvl_bands[0])
-        bands = lvl_bands[1:] + bands
-    bands = [np.fft.ifftn(approx_f * kernels[0])] + bands  # not exact approx chain; timing proxy
-    t_dec = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    Y = [np.fft.fftn(b) for b in bands[: nb]]
-    acc = np.zeros(shape, dtype=np.complex128)
-    for b in range(nb):
-        acc += Y[b] * np.conj(kernels[b])
-    _ = np.fft.ifftn(acc / nb)
-    # remaining levels: same cost per level as above
-    for lvl in range(1, level):
-        Y = [np.fft.fftn(b) for b in bands[: nb]]
-        acc = np.zeros(shape, dtype=np.complex128)
-        for b in range(nb):
-            acc += Y[b] * np.conj(kernels[b])
-        _ = np.fft.ifftn(acc / nb)
-    t_rec = time.perf_counter() - t0
-    return t_dec, t_rec
+def native_singlecore_pair(shape, wavelet, level):
+    """Single-core timing of the in-tree native C++ engine (the reference
+    MEX layer's counterpart, ``native/nddwt_cpu.cpp``), f64 as the
+    reference's MEX path mandates (``mex/nd_dwt_mex.c:23-30``).
+
+    Returns (t_pair_seconds, roundtrip_err) or None if the extension is
+    not built."""
+    from non_decimated_wavelets_tpu.native import cpu_backend as cb
+
+    if not cb.available():
+        return None
+    cb.set_num_threads(1)
+    try:
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal(shape)
+        t0 = time.perf_counter()
+        y = cb.dec(x, wavelet, level, False)
+        t1 = time.perf_counter()
+        xr = cb.rec(y, wavelet, False)
+        t2 = time.perf_counter()
+        err = float(np.max(np.abs(xr - x)))
+        return (t2 - t0), err
+    finally:
+        cb.set_num_threads(os.cpu_count() or 1)
 
 
 def main():
@@ -119,7 +105,6 @@ def main():
     import jax.numpy as jnp
 
     import non_decimated_wavelets_tpu as nw
-    from non_decimated_wavelets_tpu import oracle
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
@@ -149,69 +134,112 @@ def main():
     log(f"f32 roundtrip max-abs err: {err32:.3e}")
 
     # ---------------- accuracy at float64 (direct path) ------------------
-    # TPU FFT is f32-only; the direct path carries the <=1e-12 requirement.
+    # TPU has no f64 FFT; the direct path carries the <=1e-12 requirement
+    # (BASELINE.md: verified at the flagship 256^3 size).
     try:
-        err_shape = (64, 64, 64) if FAST else (128, 128, 128)
+        err_shape = (64, 64, 64) if FAST else (256, 256, 256)
         xe = rng.standard_normal(err_shape)
         plan64 = nw.NDDWT(wavelet=wavelet, shape=err_shape, dtype=jnp.float64, path="direct")
         y64 = plan64.dec(jnp.asarray(xe), level, band_axis=0)
         err64 = float(jnp.max(jnp.abs(plan64.rec(y64, band_axis=0) - jnp.asarray(xe))))
         log(f"f64 roundtrip max-abs err @ {err_shape}: {err64:.3e}")
+        del y64
     except Exception as e:  # pragma: no cover
         log(f"f64 accuracy run failed: {e!r}")
         err64 = float("nan")
 
-    # ---------------- single-core CPU baseline (MEX stand-in) ------------
-    # One dec+rec with the NumPy FFT-path oracle (pocketfft, single
-    # process), mirroring mex/nddwt.c's fast-convolution algorithm run
-    # single-core. Measured at 128^3 (voxels/s for this algorithm is
-    # size-independent to first order; 256^3 f64 takes >10 min of wall
-    # clock, which would dominate the bench).
-    # Cached: the shared-VM CPU is noisy (observed 11.6s..94s for the same
-    # dec across runs); the best observed time is the honest single-core
-    # capability figure and is persisted across bench runs.
+    # ---------------- single-core native baseline (MEX counterpart) ------
+    # The in-tree C++ engine pinned to one thread — the honest stand-in
+    # for the reference's single-core MEX throughput. Measured at 128^3
+    # (voxels/s for this algorithm is size-independent to first order).
+    # Best-observed time is cached: the shared-VM CPU is noisy (observed
+    # >8x swings for identical runs).
     base_shape = (64,) * 3 if FAST else (128,) * 3
     cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               ".bench_baseline_cache.json")
-    cache = {}
-    if os.path.exists(cache_path):
-        try:
-            cache = json.load(open(cache_path))
-        except Exception:
-            cache = {}
-    key = f"mex_style_{base_shape[0]}cubed_{wavelet}_L{level}"
-    xb = rng.standard_normal(base_shape)
-    t_dec, t_rec = mex_style_pair(xb, wavelet, level)
-    t_base = t_dec + t_rec
-    if key in cache:
-        t_base = min(t_base, float(cache[key]))
+    cache = _cache(cache_path)
+    key = f"native1core_{base_shape[0]}cubed_{wavelet}_L{level}"
+    res = native_singlecore_pair(base_shape, wavelet, level)
+    if res is None:
+        log("native backend not built; run `make -C native` (using cached "
+            "baseline if available)")
+        t_base = float(cache.get(key, float("nan")))
+    else:
+        t_base, base_err = res
+        log(f"native single-core pair @ {base_shape}: {t_base:.2f}s "
+            f"(err {base_err:.2e})")
+        if key in cache:
+            t_base = min(t_base, float(cache[key]))
     cache[key] = t_base
     try:
         json.dump(cache, open(cache_path, "w"))
     except Exception:
         pass
     base_vps = int(np.prod(base_shape)) / t_base
-    log(
-        f"CPU single-process MEX-style baseline @ {base_shape}: "
-        f"dec {t_dec:.2f}s rec {t_rec:.2f}s (best-cached pair {t_base:.2f}s) "
-        f"-> {base_vps/1e6:.2f} Mvox/s"
-    )
+    log(f"single-core native baseline: {base_vps/1e6:.3f} Mvox/s "
+        f"(best-cached)")
 
     # ---------------- secondary configs (stderr only) ---------------------
+    # Small configs (1D/2D) use the fused dec_rec pair — one kernel launch
+    # per iterate on resident shapes (the launch floor otherwise dominates:
+    # ~1.5 ms/launch through the tunnel).
     try:
         for cfg_shape, cfg_wav, cfg_level, tag in [
             ((1024,), "db4", 3, "1D db4 L3"),
             ((512, 512), "db4", 3, "2D db4 L3"),
-            ((32, 64, 64, 64) if FAST else (128, 128, 128, 32), "db1", 1, "4D haar L1"),
         ]:
             p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape, dtype=jnp.float32)
             xi = jax.device_put(jnp.asarray(rng.standard_normal(cfg_shape), jnp.float32), dev)
+            step = jax.jit(
+                lambda v, p=p, L=cfg_level: p.dec_rec(v, L, band_axis=0)[1]
+            )
+            tp = time_loop(step, xi, max(3, iters))
+            log(f"{tag} {cfg_shape} fused pair: {tp*1e3:.2f} ms/pair -> "
+                f"{np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s")
+    except Exception as e:  # pragma: no cover
+        log(f"small configs failed: {e!r}")
+
+    # 4D configs: Haar L1 (BASELINE config #4) and db4 L3 (the 4D row of
+    # the BASELINE metric) on the two-stage lane-flatten Pallas kernels.
+    for cfg_shape, cfg_wav, cfg_level, tag in [
+        ((32, 64, 64, 64) if FAST else (128, 128, 128, 32), "db1", 1,
+         "4D haar L1"),
+        ((32, 32, 32, 32) if FAST else (128, 128, 128, 32), "db4", 3,
+         "4D db4 L3"),
+        ((32, 32, 32, 32) if FAST else (128, 128, 64, 32), "db4", 3,
+         "4D db4 L3 (small)"),
+    ]:
+        try:
+            p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape, dtype=jnp.float32)
+            xi = jax.device_put(
+                jnp.asarray(rng.standard_normal(cfg_shape), jnp.float32), dev
+            )
             df = jax.jit(lambda v, p=p, L=cfg_level: p.dec(v, L, band_axis=0))
             rf = jax.jit(lambda v, p=p: p.rec(v, band_axis=0))
             tp = time_pair(df, rf, xi, max(3, iters // 2))
-            log(f"{tag} {cfg_shape}: {tp*1e3:.2f} ms/pair -> {np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s")
+            log(f"{tag} {cfg_shape}: {tp*1e3:.2f} ms/pair -> "
+                f"{np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s")
+            del xi
+        except Exception as e:  # pragma: no cover
+            log(f"{tag} failed: {e!r}")
+
+    # ---------------- sharded pair on this chip (shard_map path) ----------
+    # The multi-chip compute path (Pallas 'valid' kernels + ppermute halos)
+    # run on a 1-device mesh: per-chip throughput should track the
+    # unsharded Pallas path (VERDICT r1 item 2).
+    try:
+        from non_decimated_wavelets_tpu.parallel import ShardedNDDWT, make_mesh
+
+        mesh = make_mesh({"x": 1}, jax.devices()[:1])
+        sh = ShardedNDDWT(plan, mesh, ("x", None, None), use_pallas=True)
+        xs = sh.shard_input(x)
+        dec_s = sh.dec_fn(level)
+        rec_s = sh.rec_fn(level)
+        tp = time_pair(dec_s, rec_s, xs, max(3, iters // 2))
+        log(f"3D {shape} sharded(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
+            f"{nvox/tp/1e6:.1f} Mvox/s per chip")
     except Exception as e:  # pragma: no cover
-        log(f"secondary configs failed: {e!r}")
+        log(f"sharded bench failed: {e!r}")
 
     # ---------------- end-to-end iterative recon (stderr) ------------------
     # The workload the reference was built for: repeated dec/rec inside a

@@ -1,0 +1,346 @@
+"""Flat-lane resident Pallas kernels: whole-transform single-launch kernels
+for SMALL arrays of ARBITRARY shape (any ndim, any extents).
+
+Why this exists: the natural-layout resident kernels
+(``pallas_resident.py``) require the lane dimension to be a multiple of
+128, and the tiled kernels (``pallas_kernels.py``) have the same lane
+constraint — so reference-style awkward sizes (``264x264``, ``54321``,
+``[164,64,40]`` — the reference's own test shapes,
+``Test/nddwt2D_test.m:5``) fall back to the XLA direct path. On the
+available TPU backend that path is a hazard for small shapes (observed: a
+``(64,64)`` f32 direct-path program fails UNIMPLEMENTED or hangs the
+worker), and even where it works, per-op dispatch latency dominates.
+
+Design: flatten the whole array into the lane dimension, padded to
+``P = roundup(numel, 1024)`` and viewed as ``(8, P/8)`` (8 sublanes for
+VPU utilization; row-major flat order). Two primitives:
+
+* **flat rotate by s**: ``out[n] = v[(n - s) mod P]`` = lane rotate by
+  ``s mod C`` + sublane rotate by ``s // C`` (+1 for the lanes that
+  wrapped) — 3 rotates and a select.
+* **circular axis shift**: for spatial axis with extent N and flat stride
+  S, a circular shift by ``s`` is the masked pair of flat rotates by
+  ``s*S`` and ``(s-N)*S`` selected on ``(flat_index mod N*S) < s*S`` —
+  the multi-axis generalization of ``pallas_4d``'s masked double-rotate.
+  Every valid output position reads only valid input positions, so the
+  padding tail never contaminates results (it only ever holds garbage).
+
+Correlations accumulate inside an i32 ``while_loop`` with taps in SMEM
+(an unrolled roll chain keeps every rotate output live on Mosaic's scoped
+stack — same lesson as ``pallas_resident``).
+
+Used by ``dec_pallas``/``rec_pallas``/``NDDWT.dec_rec`` when
+:func:`flat_supported` holds (after the natural-layout kernels decline).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROWS = 8
+# ~8 live (8, P/8) arrays (approx, acc, rotate temps, stage, bufs) must fit
+# the 16MB scoped VMEM at Mosaic's ~2.4x accounting.
+_BUDGET_WORDS = 1_600_000
+
+
+def _padded_len(numel: int) -> int:
+    return -(-numel // (_ROWS * 128)) * (_ROWS * 128)
+
+
+def flat_supported(shape, dtype, taps_np) -> bool:
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+        return False
+    numel = int(np.prod(shape))
+    return 8 * _padded_len(numel) <= _BUDGET_WORDS
+
+
+def _strides(shape):
+    s = [1] * len(shape)
+    for ax in range(len(shape) - 2, -1, -1):
+        s[ax] = s[ax + 1] * shape[ax + 1]
+    return tuple(s)
+
+
+def _flat_rot(v, s, C):
+    """Flat rotate of the row-major (8, C) view: out[n] = v[(n - s) mod P].
+
+    ``s`` may be a traced i32 in [0, P)."""
+    q = jax.lax.div(s, np.int32(C))
+    r = jax.lax.rem(s, np.int32(C))
+    lr = pltpu.roll(v, r, axis=1)
+    r1 = pltpu.roll(lr, q, axis=0)
+    r2 = pltpu.roll(lr, q + np.int32(1), axis=0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane < r, r2, r1)
+
+
+def _axis_shift(v, s, N, S, C, flat_idx):
+    """Circular shift by ``s`` (traced, in [0, N)) along the spatial axis
+    with extent ``N`` and flat stride ``S``."""
+    P = v.shape[0] * C
+    sS = s * np.int32(S)
+    main = _flat_rot(v, sS, C)
+    wrap = _flat_rot(v, jax.lax.rem(sS - np.int32(N * S) + np.int32(P), np.int32(P)), C)
+    inblock = jax.lax.rem(flat_idx, np.int32(N * S))
+    return jnp.where(inblock < sS, wrap, main)
+
+
+def _corr_flat(v, taps_ref, sel, N, S, C, flat_idx, o, reverse):
+    """K-tap circular correlation along one spatial axis of the flat view.
+
+    ``reverse=False``: y[n] = sum_j t[j] v[n + j - o]  (shift by o - j).
+    ``reverse=True``: adjoint — reversed taps at the mirrored anchor."""
+    K = taps_ref.shape[1]
+    anchor = (K - 1 - o) if reverse else o
+
+    def cond(carry):
+        return carry[0] < np.int32(K)
+
+    def body(carry):
+        j, acc = carry
+        s = jax.lax.rem(np.int32(anchor) - j + np.int32(16 * N), np.int32(N))
+        r = _axis_shift(v, s, N, S, C, flat_idx)
+        tap_idx = (np.int32(K - 1) - j) if reverse else j
+        t = taps_ref[np.int32(sel), tap_idx]
+        return (j + np.int32(1), acc + t * r)
+
+    j0 = jnp.asarray(0, jnp.int32)
+    return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
+
+
+def _apply_band(v, b, taps_refs, shape, Ks, C, flat_idx, reverse):
+    """All d axis passes of engine band ``b`` (bit k = high on axis k)."""
+    S = _strides(shape)
+    for ax in range(len(shape)):
+        o = Ks[ax] // 2 - 1
+        v = _corr_flat(
+            v, taps_refs[ax], (b >> ax) & 1, shape[ax], S[ax], C, flat_idx,
+            o, reverse,
+        )
+    return v
+
+
+def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
+                           mode):
+    """mode: 'dec', 'rec', or 'pair' (dec -> soft-threshold -> rec)."""
+
+    ndim = len(shape)
+
+    def kernel(*args):
+        if mode == "rec":
+            y_in = args[0]
+            taps_refs = args[1 : 1 + ndim]
+            outs = args[1 + ndim : 2 + ndim]
+            (xr_hbm,) = outs
+            y_hbm = y_in
+            xbuf, stage, bufs, sem_in, sem_out, sem_rd, sem_wr = args[2 + ndim :]
+        else:
+            x_hbm = args[0]
+            taps_refs = args[1 : 1 + ndim]
+            if mode == "pair":
+                y_hbm, xr_hbm = args[1 + ndim], args[2 + ndim]
+                rest = args[3 + ndim :]
+            else:
+                y_hbm = args[1 + ndim]
+                xr_hbm = None
+                rest = args[2 + ndim :]
+            xbuf, stage, bufs, sem_in, sem_out, sem_rd, sem_wr = rest
+
+        flat_idx = (
+            jax.lax.broadcasted_iota(jnp.int32, (_ROWS, C), 0) * np.int32(C)
+            + jax.lax.broadcasted_iota(jnp.int32, (_ROWS, C), 1)
+        )
+
+        def shrink(v):
+            if not lam:
+                return v
+            mag = jnp.abs(v)
+            return v * (jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30))
+
+        # ----- analysis phase -----
+        if mode in ("dec", "pair"):
+            dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
+            dma.start()
+            dma.wait()
+            approx = xbuf[...]
+            inflight = [None, None]
+            slot = 0
+            off = B
+            for lvl in range(level):
+                new_approx = _apply_band(
+                    approx, 0, taps_refs, shape, Ks, C, flat_idx, False
+                )
+                off -= nb - 1
+                for b in range(1, nb):
+                    val = shrink(
+                        _apply_band(
+                            approx, b, taps_refs, shape, Ks, C, flat_idx, False
+                        )
+                    )
+                    if inflight[slot] is not None:
+                        inflight[slot].wait()
+                    stage[np.int32(slot)] = val
+                    cp = pltpu.make_async_copy(
+                        stage.at[np.int32(slot)],
+                        y_hbm.at[np.int32(off + b - 1)],
+                        sem_out.at[np.int32(slot)],
+                    )
+                    cp.start()
+                    inflight[slot] = cp
+                    slot ^= 1
+                approx = new_approx
+            if inflight[slot] is not None:
+                inflight[slot].wait()
+            stage[np.int32(slot)] = approx
+            cp = pltpu.make_async_copy(
+                stage.at[np.int32(slot)], y_hbm.at[np.int32(0)],
+                sem_out.at[np.int32(slot)],
+            )
+            cp.start()
+            inflight[slot] = cp
+            for cp in inflight:
+                if cp is not None:
+                    cp.wait()
+        if mode == "dec":
+            return
+
+        # ----- synthesis phase (streamed band reads) -----
+        reads = []
+        pos = nb
+        for lvl in range(level):
+            if lvl == 0:
+                reads.extend(range(nb))
+            else:
+                reads.append(None)
+                reads.extend(range(pos, pos + nb - 1))
+                pos += nb - 1
+
+        def start_read(step, slot):
+            idx = reads[step]
+            if idx is None:
+                return None
+            cp = pltpu.make_async_copy(
+                y_hbm.at[np.int32(idx)], bufs.at[np.int32(slot)],
+                sem_rd.at[np.int32(slot)],
+            )
+            cp.start()
+            return cp
+
+        inflight_r = {}
+        if reads:
+            inflight_r[0] = start_read(0, 0)
+        acc = None
+        step = 0
+        for lvl in range(level):
+            lvl_acc = None
+            for b in range(nb):
+                nxt = step + 1
+                if nxt < len(reads):
+                    inflight_r[nxt] = start_read(nxt, nxt % 2)
+                cp = inflight_r.pop(step, None)
+                if cp is not None:
+                    cp.wait()
+                    v = bufs[np.int32(step % 2)]
+                else:
+                    v = acc
+                contrib = _apply_band(
+                    v, b, taps_refs, shape, Ks, C, flat_idx, True
+                )
+                lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
+                step += 1
+            acc = lvl_acc * scale if scale != 1.0 else lvl_acc
+        xbuf[...] = acc
+        cp = pltpu.make_async_copy(xbuf, xr_hbm, sem_wr)
+        cp.start()
+        cp.wait()
+
+    return kernel
+
+
+def _call(mode, arr, taps_np, level, preserve_l2, lam, shape):
+    ndim = len(shape)
+    numel = int(np.prod(shape))
+    P = _padded_len(numel)
+    C = P // _ROWS
+    nb = 2**ndim
+    B = nb + (nb - 1) * (level - 1)
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+    Ks = tuple(t.shape[1] for t in taps_np)
+    taps_ops = [jnp.asarray(t, arr.dtype) for t in taps_np]
+
+    def lift(a):
+        flat = a.reshape(-1)
+        return jnp.pad(flat, (0, P - numel)).reshape(_ROWS, C)
+
+    if mode == "rec":
+        ops = jnp.pad(arr.reshape(B, numel), ((0, 0), (0, P - numel)))
+        ops = ops.reshape(B, _ROWS, C)
+        out_shapes = (jax.ShapeDtypeStruct((_ROWS, C), arr.dtype),)
+        out_specs = (pl.BlockSpec(memory_space=pl.ANY),)
+    else:
+        ops = lift(arr)
+        band_out = jax.ShapeDtypeStruct((B, _ROWS, C), arr.dtype)
+        if mode == "pair":
+            out_shapes = (band_out, jax.ShapeDtypeStruct((_ROWS, C), arr.dtype))
+            out_specs = (
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec(memory_space=pl.ANY),
+            )
+        else:
+            out_shapes = (band_out,)
+            out_specs = (pl.BlockSpec(memory_space=pl.ANY),)
+
+    res = pl.pallas_call(
+        _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, float(lam), C,
+                               mode),
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)]
+        + [
+            pl.BlockSpec(
+                t.shape,
+                lambda i: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_np
+        ],
+        out_specs=out_specs if len(out_specs) > 1 else out_specs[0],
+        out_shape=out_shapes if len(out_shapes) > 1 else out_shapes[0],
+        scratch_shapes=[
+            pltpu.VMEM((_ROWS, C), arr.dtype),
+            pltpu.VMEM((2, _ROWS, C), arr.dtype),
+            pltpu.VMEM((2, _ROWS, C), arr.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(ops, *taps_ops)
+
+    def unlift(a):
+        return a.reshape(-1)[:numel].reshape(shape)
+
+    if mode == "dec":
+        return res.reshape(B, P)[:, :numel].reshape((B,) + shape)
+    if mode == "rec":
+        return unlift(res)
+    y, xr = res
+    return y.reshape(B, P)[:, :numel].reshape((B,) + shape), unlift(xr)
+
+
+def dec_flat(x, taps_np, level: int):
+    """(shape) -> (B, *shape), one kernel launch."""
+    return _call("dec", x, taps_np, level, False, 0.0, x.shape)
+
+
+def rec_flat(y, taps_np, level: int, preserve_l2: bool):
+    """(B, *shape) -> (shape), one kernel launch."""
+    return _call("rec", y, taps_np, level, preserve_l2, 0.0, y.shape[1:])
+
+
+def pair_flat(x, taps_np, level: int, preserve_l2: bool, lam: float = 0.0):
+    """Fused dec -> soft-threshold(details) -> rec; returns (bands, recon)."""
+    return _call("pair", x, taps_np, level, preserve_l2, lam, x.shape)

@@ -345,6 +345,10 @@ def dec_pallas(x, taps, level: int):
         if pallas_4d.supported(x.shape, x.dtype, taps_np):
             return pallas_4d.dec4(x, taps_np, level)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
+        from . import pallas_flat
+
+        if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
+            return pallas_flat.dec_flat(x, taps_np, level)
         return direct_path.dec_direct(x, taps, level)
     ndim = x.ndim
     nb = 2**ndim
@@ -561,6 +565,10 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
         if pallas_4d.supported(shape, y.dtype, taps_np):
             return pallas_4d.rec4(y, taps_np, level, preserve_l2)
     if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
+        from . import pallas_flat
+
+        if pallas_flat.flat_supported(shape, y.dtype, taps_np):
+            return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
         return direct_path.rec_direct(y, taps, level, preserve_l2)
     nb = 2**ndim
     scale = 1.0 if preserve_l2 else 1.0 / nb

@@ -199,6 +199,10 @@ class NDDWT:
 
                 if pallas_4d.supported(self.shape, self.real_dtype, taps_np):
                     return "pallas"
+            from .ops import pallas_flat
+
+            if pallas_flat.flat_supported(self.shape, self.real_dtype, taps_np):
+                return "pallas"
         if on_accel or max(self.filter_lengths) <= 12:
             return "direct"
         return "fft"
@@ -296,7 +300,7 @@ class NDDWT:
         path = self._resolve_path(is_complex)
         y = None
         if path == "pallas" and not is_complex:
-            from .ops import pallas_resident
+            from .ops import pallas_flat, pallas_resident
 
             taps_np = tuple(np.asarray(t) for t in self.taps)
             if pallas_resident.resident_supported(
@@ -304,6 +308,13 @@ class NDDWT:
             ):
                 with jax.named_scope(f"nddwt.dec_rec.pair.L{level}"):
                     y, xr = pallas_resident.pair_resident(
+                        x, taps_np, level, self.preserve_l2, float(threshold)
+                    )
+            elif pallas_flat.flat_supported(
+                self.shape, self.real_dtype, taps_np
+            ):
+                with jax.named_scope(f"nddwt.dec_rec.flatpair.L{level}"):
+                    y, xr = pallas_flat.pair_flat(
                         x, taps_np, level, self.preserve_l2, float(threshold)
                     )
         if y is None:

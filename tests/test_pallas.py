@@ -209,3 +209,60 @@ def test_plan_dec_rec_api(rng):
     np.testing.assert_allclose(
         np.asarray(xr), np.asarray(plan.rec(yd, band_axis=0)), atol=1e-12
     )
+
+
+# --------------------------------------------------------------------------
+# Flat-lane resident kernels (arbitrary small shapes — the reference's own
+# awkward sizes, Test/nddwt2D_test.m:5).
+# --------------------------------------------------------------------------
+from non_decimated_wavelets_tpu.ops import pallas_flat
+
+
+CASES_FLAT = [
+    ((64, 64), "db2", 2),
+    ((54,), "db4", 3),
+    ((26, 26), ("db1", "db3"), 2),
+    ((24, 18, 10), ("db2", "db3", "db2"), 2),
+    ((264, 264), "db4", 1),
+    ((14, 10, 6, 6), "db1", 2),
+]
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES_FLAT)
+def test_flat_dec_matches_direct(shape, wv, level, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    assert pallas_flat.flat_supported(shape, jnp.float32, taps_np)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yp = pallas_flat.dec_flat(x, taps_np, level)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(yp), np.asarray(yd), atol=1e-5)
+
+
+@pytest.mark.parametrize("shape,wv,level", CASES_FLAT[:4])
+@pytest.mark.parametrize("pl2", [False, True])
+def test_flat_rec_roundtrip(shape, wv, level, pl2, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    with pltpu.force_tpu_interpret_mode():
+        xr = pallas_flat.rec_flat(yd, taps_np, level, pl2)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_flat_pair_with_threshold(rng):
+    shape, lam = (26, 26), 0.1
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y, xr = pallas_flat.pair_flat(x, taps_np, 2, False, lam)
+    from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+
+    yd = direct_path.dec_direct(x, plan.taps, 2)
+    yd = jnp.concatenate([yd[:1], soft_threshold(yd[1:], lam)], axis=0)
+    xd = direct_path.rec_direct(yd, plan.taps, 2, False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(xd), atol=1e-4)
