@@ -13,14 +13,22 @@ TPU-native details:
   the per-level cost is one band multiply + the detail bands' inverse
   pencil pipeline (the frequency-domain cascade of ``ops/fft_path.py``,
   sharded);
-* ``jax.lax.all_to_all(tiled=True)`` is the single collective used; on TPU
-  it rides ICI as a balanced personalized exchange;
+* ``jax.lax.all_to_all(tiled=True)`` is the single collective used (on TPU
+  hardware with FFT support it would ride ICI as a balanced personalized
+  exchange);
 * per-device response slices are taken with ``axis_index`` dynamic slices
   (no gather).
 
-Supported: ndim >= 2, spatial axis 0 sharded over one mesh axis, with both
-``shape[0]`` and ``shape[1]`` divisible by the mesh axis size. float32
-(complex64) on TPU; float64 (complex128) on CPU meshes.
+Supported: ndim >= 2, spatial axis 0 sharded over ONE mesh axis, with both
+``shape[0]`` and ``shape[1]`` divisible by the mesh axis size.
+
+Scope note (honest): the available TPU backend executes NO complex
+arithmetic (CLAUDE.md), so in this environment this component runs on CPU
+meshes only (f64/c128); it exists because the FFT path is the reference's
+core algorithm (``mex/nddwt.c:15-61``) and wins for long filters / deep
+levels, and it is the drop-in pencil scheme for TPU generations whose
+runtime does implement complex FFT. The direct-path ``ShardedNDDWT`` is
+the production TPU path.
 """
 
 from __future__ import annotations
