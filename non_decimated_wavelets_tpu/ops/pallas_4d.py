@@ -74,9 +74,11 @@ def _chunk(Z: int, T: int):
 
 
 def _lane_tiles(X, Y, L):
-    """(tx, ty) for the lane stage: in(1) + out(4) + ~3 temps full-L tiles."""
+    """(tx, ty) for the lane stage: ~10 live full-L tiles (input, pair
+    carries, 4 band outputs, rotate/select temps — loop-ified taps keep one
+    rotate live at a time)."""
     for tx, ty in ((8, 8), (4, 8), (2, 8), (1, 8)):
-        if X % tx == 0 and Y % ty == 0 and 8 * tx * ty * L <= _BUDGET:
+        if X % tx == 0 and Y % ty == 0 and 10 * tx * ty * L <= _BUDGET:
             return (tx, ty)
     return None
 
@@ -118,57 +120,85 @@ def supported(shape, dtype, taps_np) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _t_mask(shape, T, s):
-    """lanes with ``t = lane % T < s`` (the wrap set of a T-rotate by s)."""
-    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
-    return jax.lax.rem(lane, np.int32(T)) < np.int32(s)
-
-
-def _lane_shift(v, T, is_t: bool, shift: int):
+def _lane_shift_dyn(v, T, is_t: bool, shift):
     """Rotate ``v``'s flattened (Z,T) lane axis circularly along Z
     (``is_t=False``: plain rotate by ``shift*T``) or along T (masked
     double-rotate: the ``t < s`` lanes crossed a block boundary and take
-    the rotate by ``s - T`` instead)."""
+    the rotate by ``s - T`` instead). ``shift`` is a traced i32 (already
+    reduced mod N of its axis)."""
     L = v.shape[-1]
     ax = v.ndim - 1
     if not is_t:
-        s = (shift * T) % L
-        return pltpu.roll(v, np.int32(s), axis=ax) if s else v
-    s = shift % T
-    if s == 0:
-        return v
-    r_main = pltpu.roll(v, np.int32(s), axis=ax)
-    r_wrap = pltpu.roll(v, np.int32((s - T) % L), axis=ax)
-    return jnp.where(_t_mask(v.shape, T, s), r_wrap, r_main)
+        return pltpu.roll(v, shift * np.int32(T), axis=ax)
+    s = shift
+    r_main = pltpu.roll(v, s, axis=ax)
+    r_wrap = pltpu.roll(v, jax.lax.rem(s - np.int32(T) + np.int32(L), np.int32(L)),
+                        axis=ax)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.where(jax.lax.rem(lane, np.int32(T)) < s, r_wrap, r_main)
 
 
-def _lane_pair(v, taps_np, T, is_t: bool):
-    """(lo, hi) analysis correlations along Z or T, sharing every rotate
-    (anchor ``o = K//2 - 1``, as everywhere in the engine)."""
-    K = taps_np.shape[1]
+def _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, reverse):
+    """K-tap correlation along the lane-resident Z or T axis as an i32
+    while_loop — ONE rotate live at a time. An unrolled tap chain keeps
+    every rotate output on Mosaic's 16MB scoped stack (a db4 (8,8,4096)
+    lane kernel compiled to a 23.7MB allocation — same lesson as
+    ``pallas_resident``); the loop form compiles in budget.
+
+    ``reverse=False``: y[n] = sum_j t[j] v[n+j-o]  (shift by o-j).
+    ``reverse=True``: adjoint — reversed taps at the mirrored anchor."""
+    K = taps_ref.shape[1]
+    anchor = (K - 1 - o) if reverse else o
+
+    def cond(carry):
+        return carry[0] < np.int32(K)
+
+    def body(carry):
+        j, acc = carry
+        s = jax.lax.rem(np.int32(anchor) - j + np.int32(16 * N), np.int32(N))
+        r = _lane_shift_dyn(v, T, is_t, s)
+        tap_idx = (np.int32(K - 1) - j) if reverse else j
+        t = taps_ref[np.int32(sel), tap_idx]
+        return (j + np.int32(1), acc + t * r)
+
+    j0 = jnp.asarray(0, jnp.int32)
+    return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
+
+
+def _lane_pair(v, taps_ref, Z, T, is_t: bool):
+    """(lo, hi) analysis correlations along Z or T (anchor ``K//2 - 1``),
+    sharing every rotate between the two filter rows (one loop, both
+    accumulators in the carry)."""
+    K = taps_ref.shape[1]
     o = K // 2 - 1
-    acc_lo = acc_hi = None
-    for j in range(K):
-        r = _lane_shift(v, T, is_t, o - j)
-        tl = float(taps_np[0, j]) * r
-        th = float(taps_np[1, j]) * r
-        acc_lo = tl if acc_lo is None else acc_lo + tl
-        acc_hi = th if acc_hi is None else acc_hi + th
-    return acc_lo, acc_hi
+    N = T if is_t else Z
+
+    def cond(carry):
+        return carry[0] < np.int32(K)
+
+    def body(carry):
+        j, alo, ahi = carry
+        s = jax.lax.rem(np.int32(o) - j + np.int32(16 * N), np.int32(N))
+        r = _lane_shift_dyn(v, T, is_t, s)
+        return (
+            j + np.int32(1),
+            alo + taps_ref[np.int32(0), j] * r,
+            ahi + taps_ref[np.int32(1), j] * r,
+        )
+
+    j0 = jnp.asarray(0, jnp.int32)
+    z = jnp.zeros_like(v)
+    _, lo, hi = jax.lax.while_loop(cond, body, (j0, z, z))
+    return lo, hi
 
 
-def _lane_adj(v, taps_np, sel: int, T, is_t: bool):
+def _lane_adj(v, taps_ref, sel: int, Z, T, is_t: bool):
     """Adjoint pass for one filter row: reversed taps at the mirrored
     anchor ``o' = K//2`` (same convention as pallas_kernels synthesis)."""
-    K = taps_np.shape[1]
-    trow = taps_np[sel][::-1]
-    o_adj = K // 2
-    acc = None
-    for j in range(K):
-        r = _lane_shift(v, T, is_t, o_adj - j)
-        term = float(trow[j]) * r
-        acc = term if acc is None else acc + term
-    return acc
+    K = taps_ref.shape[1]
+    o = K // 2 - 1
+    N = T if is_t else Z
+    return _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, True)
 
 
 # ---------------------------------------------------------------------------
@@ -187,16 +217,26 @@ def _lead_halos(K0, K1, adjoint: bool):
     return h0, (h1w, h1w)
 
 
-def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot):
+def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
+                 padded=None):
     """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
     (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
-    (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT)."""
+    (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT).
+
+    ``padded[ax]`` marks axes whose source is already halo-padded (the
+    'valid' mode used inside ``shard_map`` — ppermute supplies the periodic
+    halo): the three wrap segments collapse to one contiguous copy at
+    offset ``i*t``."""
     per_axis = []
     for ax in range(2):
         N = XY[ax]
         t = tiles[ax]
         w_l, w_r = halos[ax]
         base = (i, j)[ax] * np.int32(t)
+        if padded is not None and padded[ax]:
+            s0 = pl.multiple_of(base, 8) if ax == 1 else base
+            per_axis.append([(s0, 0, w_l + t + w_r)])
+            continue
         sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
         sC = base
         sR = jax.lax.rem(base + np.int32(t), np.int32(N))
@@ -237,14 +277,15 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot):
 def _lane_dec_call(x3, taps_np, T, tiles):
     """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read."""
     X, Y, L = x3.shape
+    Z = L // T
     tx, ty = tiles
-    tz, tt = taps_np[2], taps_np[3]
+    taps_ops = [jnp.asarray(taps_np[2], x3.dtype), jnp.asarray(taps_np[3], x3.dtype)]
 
-    def kernel(x_ref, out_ref):
+    def kernel(x_ref, tz_ref, tt_ref, out_ref):
         v = x_ref[...]
-        zlo, zhi = _lane_pair(v, tz, T, is_t=False)
+        zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
         for zbit, vz in enumerate((zlo, zhi)):
-            tlo, thi = _lane_pair(vz, tt, T, is_t=True)
+            tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
             out_ref[np.int32(zbit)] = tlo
             out_ref[np.int32(zbit + 2)] = thi
 
@@ -253,20 +294,37 @@ def _lane_dec_call(x3, taps_np, T, tiles):
         grid=(X // tx, Y // ty),
         in_specs=[
             pl.BlockSpec((tx, ty, L), lambda i, j: (i, j, np.int32(0)))
+        ]
+        + [
+            # explicit np.int32 index maps (x64-safe, see pallas_resident)
+            pl.BlockSpec(
+                t.shape,
+                lambda i, j: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_ops
         ],
         out_specs=pl.BlockSpec(
             (4, tx, ty, L),
             lambda i, j: (np.int32(0), i, j, np.int32(0)),
         ),
         out_shape=jax.ShapeDtypeStruct((4, X, Y, L), x3.dtype),
-    )(x3)
+    )(x3, *taps_ops)
 
 
-def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct):
+def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
+                   shape_xy=None, padded=None):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
-    approximation as a lane-blocked output (X, Y, L)."""
+    approximation as a lane-blocked output (X, Y, L).
+
+    ``shape_xy``/``padded``: 'valid' mode — ``temp5`` is halo-padded on the
+    ``padded`` (X, Y) axes by the ``_lead_halos`` widths and ``shape_xy``
+    is the unpadded output extent."""
     _, X, Y, Zcnt, _ = temp5.shape
+    if shape_xy is not None:
+        X, Y = shape_xy
+        Zcnt = temp5.shape[3]
     tx, ty = tiles
     t0, t1 = taps_np[0], taps_np[1]
     K0, K1 = t0.shape[1], t1.shape[1]
@@ -282,7 +340,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct):
         def load(c, slot):
             return _halo_copies(
                 temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
-                (tx, ty), halos, i, j, k, slot
+                (tx, ty), halos, i, j, k, slot, padded
             )
 
         for cp in load(0, 0):
@@ -357,7 +415,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct):
             ),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B,) + temp5.shape[1:], temp5.dtype),
+            jax.ShapeDtypeStruct(big5.shape, temp5.dtype),
             jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
         ),
         input_output_aliases={1: 0},
@@ -402,15 +460,21 @@ def dec4(x, taps_np, level: int):
 # ---------------------------------------------------------------------------
 
 
-def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct):
+def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
+                   shape_xy=None, padded=None):
     """Adjoint leading stage -> partial (4, X, Y, L) with
     ``partial[c] = sum_a adj(band[4c+a])``.
 
     ``band_src[b]`` is ``("y", idx)`` (band ``idx`` of ``y5``) or
     ``("a", 0)`` (the running approximation operand, shape (X, Y, L)) — the
     concat-free multilevel trick shared with ``pallas_kernels``. All 16
-    band tiles stream through a 2-slot double buffer."""
+    band tiles stream through a 2-slot double buffer.
+    ``shape_xy``/``padded``: 'valid' mode (sources halo-padded on the
+    ``padded`` axes by the adjoint ``_lead_halos`` widths)."""
     _, X, Y, Zcnt, _ = y5.shape
+    if shape_xy is not None:
+        X, Y = shape_xy
+        Zcnt = y5.shape[3]
     tx, ty = tiles
     t0, t1 = taps_np[0], taps_np[1]
     K0, K1 = t0.shape[1], t1.shape[1]
@@ -433,7 +497,7 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct):
             src = y_hbm if kind == "y" else a_hbm
             return _halo_copies(
                 src, buf, sem_in.at[np.int32(slot)], idx, (X, Y),
-                (tx, ty), halos, i, j, k, slot
+                (tx, ty), halos, i, j, k, slot, padded
             )
 
         for cp in load(0, 0):
@@ -487,15 +551,19 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
     """Adjoint lane stage: (4, X, Y, L) -> (X, Y, L); the reference's
     per-level ``1/2^d`` folded into the accumulate."""
     _, X, Y, L = partial.shape
+    Z = L // T
     tx, ty = tiles
-    tz, tt = taps_np[2], taps_np[3]
+    taps_ops = [
+        jnp.asarray(taps_np[2], partial.dtype),
+        jnp.asarray(taps_np[3], partial.dtype),
+    ]
 
-    def kernel(p_ref, out_ref):
+    def kernel(p_ref, tz_ref, tt_ref, out_ref):
         acc = None
         for c in range(4):
             v = p_ref[np.int32(c)]
-            vt = _lane_adj(v, tt, (c >> 1) & 1, T, is_t=True)
-            vz = _lane_adj(vt, tz, c & 1, T, is_t=False)
+            vt = _lane_adj(v, tt_ref, (c >> 1) & 1, Z, T, is_t=True)
+            vz = _lane_adj(vt, tz_ref, c & 1, Z, T, is_t=False)
             acc = vz if acc is None else acc + vz
         if scale != 1.0:
             acc = acc * scale
@@ -509,12 +577,20 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
                 (4, tx, ty, L),
                 lambda i, j: (np.int32(0), i, j, np.int32(0)),
             )
+        ]
+        + [
+            pl.BlockSpec(
+                t.shape,
+                lambda i, j: (np.int32(0), np.int32(0)),
+                memory_space=pltpu.SMEM,
+            )
+            for t in taps_ops
         ],
         out_specs=pl.BlockSpec(
             (tx, ty, L), lambda i, j: (i, j, np.int32(0))
         ),
         out_shape=jax.ShapeDtypeStruct((X, Y, L), partial.dtype),
-    )(partial)
+    )(partial, *taps_ops)
 
 
 def rec4(y, taps_np, level: int, preserve_l2: bool):

@@ -333,10 +333,30 @@ def dec_pallas(x, taps, level: int):
     ``taps`` must be host NumPy arrays (they are baked into the kernel as
     constants). Falls back to the XLA direct path for unsupported
     shapes/dtypes. Not itself jitted — wrap the caller in ``jax.jit``.
-    """
-    taps_np = tuple(np.asarray(t) for t in taps)
-    from . import pallas_resident
 
+    Differentiable: ``pallas_call`` has no autodiff rules, but the
+    transform is linear and its exact adjoint is the synthesis with
+    ``preserve_l2=True`` (the tight-frame adjoint, asserted by the
+    adjointness tests) — registered via ``linear_call`` so jvp/vjp/grad
+    run the fused kernels too.
+    """
+    from jax.custom_derivatives import linear_call
+
+    taps_np = tuple(np.asarray(t) for t in taps)
+    return linear_call(
+        lambda _, v: _dec_dispatch(v, taps_np, level),
+        lambda _, ybar: _rec_dispatch(ybar, taps_np, level, True),
+        (), x,
+    )
+
+
+def _dec_dispatch(x, taps_np, level: int):
+    from . import pallas_flat, pallas_resident
+
+    if x.ndim == 1 and pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
+        # 1D: the natural-layout resident lift is (1, N) — 1/8 sublane
+        # utilization; the flat (8, P/8) view measured ~2x faster pairs.
+        return pallas_flat.dec_flat(x, taps_np, level)
     if pallas_resident.resident_supported(x.shape, x.dtype, taps_np):
         return pallas_resident.dec_resident(x, taps_np, level)
     if x.ndim == 4:
@@ -349,7 +369,7 @@ def dec_pallas(x, taps, level: int):
 
         if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
             return pallas_flat.dec_flat(x, taps_np, level)
-        return direct_path.dec_direct(x, taps, level)
+        return direct_path.dec_direct(x, taps_np, level)
     ndim = x.ndim
     nb = 2**ndim
     B = nb + (nb - 1) * (level - 1)
@@ -543,6 +563,22 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     )(*operands)
 
 
+def _rec_transpose_scales(ndim, level, dtype):
+    """Per-band scales of the NOT-preserve_l2 synthesis transpose: the
+    transpose is the analysis cascade with each level-application
+    multiplied by 1/2^d, so the group at depth l carries (1/2^d)^l
+    (deepest approx + deepest details: l = level)."""
+    nb = 2**ndim
+    B = nb + (nb - 1) * (level - 1)
+    s = np.empty((B,), np.float64)
+    s[:nb] = (1.0 / nb) ** level
+    pos = nb
+    for depth in range(level - 1, 0, -1):
+        s[pos : pos + nb - 1] = (1.0 / nb) ** depth
+        pos += nb - 1
+    return s.astype(dtype)
+
+
 def rec_pallas(y, taps, level: int, preserve_l2: bool):
     """Multilevel synthesis via the fused level kernel; input (B, *s).
 
@@ -551,12 +587,34 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
     band array at a static offset, so no per-level group is materialized.
 
     ``taps`` must be host NumPy arrays (kernel constants); see
-    :func:`dec_pallas`."""
+    :func:`dec_pallas`. Differentiable via ``linear_call`` (the transpose
+    is the analysis cascade, with the per-level ``1/2^d`` redistributed
+    onto the band groups when not ``preserve_l2``)."""
+    from jax.custom_derivatives import linear_call
+
     taps_np = tuple(np.asarray(t) for t in taps)
     ndim = y.ndim - 1
-    shape = y.shape[1:]
-    from . import pallas_resident
 
+    def trans(_, xbar):
+        z = _dec_dispatch(xbar, taps_np, level)
+        if not preserve_l2:
+            sc = jnp.asarray(_rec_transpose_scales(ndim, level, np.float32))
+            z = z * sc.astype(z.dtype).reshape((-1,) + (1,) * ndim)
+        return z
+
+    return linear_call(
+        lambda _, v: _rec_dispatch(v, taps_np, level, preserve_l2),
+        trans, (), y,
+    )
+
+
+def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
+    ndim = y.ndim - 1
+    shape = y.shape[1:]
+    from . import pallas_flat, pallas_resident
+
+    if ndim == 1 and pallas_flat.flat_supported(shape, y.dtype, taps_np):
+        return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
     if pallas_resident.resident_supported(shape, y.dtype, taps_np):
         return pallas_resident.rec_resident(y, taps_np, level, preserve_l2)
     if ndim == 4:
@@ -569,7 +627,7 @@ def rec_pallas(y, taps, level: int, preserve_l2: bool):
 
         if pallas_flat.flat_supported(shape, y.dtype, taps_np):
             return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
-        return direct_path.rec_direct(y, taps, level, preserve_l2)
+        return direct_path.rec_direct(y, taps_np, level, preserve_l2)
     nb = 2**ndim
     scale = 1.0 if preserve_l2 else 1.0 / nb
 

@@ -264,6 +264,93 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
     return acc
 
 
+def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
+    """4D sharded analysis: lane stage local (Z,T unsharded by
+    construction), leading stage 'valid'-mode over ppermute'd X/Y halos."""
+    from ..ops import pallas_4d as p4
+
+    X, Y, Z, T = local_shape
+    L = Z * T
+    zc = p4._chunk(Z, T)
+    zct = zc * T
+    Zcnt = Z // zc
+    lane_t = p4._lane_tiles(X, Y, L)
+    lead_t = p4._lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
+    halos = p4._lead_halos(taps_np[0].shape[1], taps_np[1].shape[1],
+                           adjoint=False)
+    padded = (axis_names[0] is not None, axis_names[1] is not None)
+    nb = 16
+    B = nb + (nb - 1) * (level - 1)
+
+    big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
+    approx = x.reshape(X, Y, L)
+    off = B
+    for _ in range(level):
+        off -= nb - 1
+        temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
+            4, X, Y, Zcnt, zct
+        )
+        if padded[0]:
+            temp5 = _halo_pad(temp5, 1, axis_names[0], halos[0][0], halos[0][1])
+        if padded[1]:
+            temp5 = _halo_pad(temp5, 2, axis_names[1], halos[1][0], halos[1][1])
+        big5, app = p4._lead_dec_call(
+            temp5, big5, off, taps_np, lead_t, zct,
+            shape_xy=(X, Y), padded=padded,
+        )
+        approx = app.reshape(X, Y, L)
+    big5 = big5.at[0].set(approx.reshape(X, Y, Zcnt, zct))
+    return big5.reshape((B,) + tuple(local_shape))
+
+
+def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
+    from ..ops import pallas_4d as p4
+
+    X, Y, Z, T = local_shape
+    L = Z * T
+    zc = p4._chunk(Z, T)
+    zct = zc * T
+    Zcnt = Z // zc
+    lane_t = p4._lane_tiles(X, Y, L)
+    lead_t = p4._lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
+    halos = p4._lead_halos(taps_np[0].shape[1], taps_np[1].shape[1],
+                           adjoint=True)
+    padded = (axis_names[0] is not None, axis_names[1] is not None)
+    nb = 16
+    B = y.shape[0]
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+
+    def pad_xy(arr5):
+        if padded[0]:
+            arr5 = _halo_pad(arr5, 1, axis_names[0], halos[0][0], halos[0][1])
+        if padded[1]:
+            arr5 = _halo_pad(arr5, 2, axis_names[1], halos[1][0], halos[1][1])
+        return arr5
+
+    y5 = pad_xy(y.reshape(B, X, Y, Zcnt, zct))
+    band_src = [("y", b) for b in range(nb)]
+    partial = p4._lead_adj_call(
+        y5, None, band_src, taps_np, lead_t, zct,
+        shape_xy=(X, Y), padded=padded,
+    )
+    acc = p4._lane_adj_call(
+        partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+    )
+    pos = nb
+    for _ in range(1, level):
+        band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+        acc5 = pad_xy(acc.reshape(1, X, Y, Zcnt, zct))
+        partial = p4._lead_adj_call(
+            y5, acc5, band_src, taps_np, lead_t, zct,
+            shape_xy=(X, Y), padded=padded,
+        )
+        acc = p4._lane_adj_call(
+            partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+        )
+        pos += nb - 1
+    return acc.reshape(tuple(local_shape))
+
+
 class ShardedNDDWT:
     """A plan bound to a mesh and a spatial partitioning.
 
@@ -347,6 +434,23 @@ class ShardedNDDWT:
             return False  # lane axis must be local (kernel wrap = lane roll)
         taps_np = tuple(np.asarray(t) for t in plan.taps)
         ls = self._local_shape
+        if plan.ndim == 4:
+            # 4D: (Z, T) flatten into lanes, so both must be local; X/Y
+            # halos ride ppermute into the 'valid'-mode leading stage.
+            from ..ops import pallas_4d as p4
+
+            if self.spec[2] is not None or self.spec[3] is not None:
+                return False
+            if not p4.supported(ls, plan.real_dtype, taps_np):
+                return False
+            K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+            from ..ops.pallas_kernels import _round8
+
+            if self.spec[0] is not None and ls[0] < K0 - 1:
+                return False
+            if self.spec[1] is not None and ls[1] < _round8(K1 // 2):
+                return False
+            return True
         if not pk._supported(ls, plan.real_dtype):
             return False
         if pk._dec_tiles(ls, taps_np) is None or pk._rec_tiles(ls, taps_np) is None:
@@ -368,8 +472,12 @@ class ShardedNDDWT:
         if level not in self._dec_cache:
             if self.use_pallas:
                 taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                dec_body = (
+                    _dec_body_pallas4 if self.plan.ndim == 4
+                    else _dec_body_pallas
+                )
                 body = partial(
-                    _dec_body_pallas, taps_np=taps_np, level=level,
+                    dec_body, taps_np=taps_np, level=level,
                     axis_names=self.spec, local_shape=self._local_shape,
                 )
                 mapped = jax.shard_map(
@@ -402,8 +510,12 @@ class ShardedNDDWT:
         if level not in self._rec_cache:
             if self.use_pallas:
                 taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                rec_body = (
+                    _rec_body_pallas4 if self.plan.ndim == 4
+                    else _rec_body_pallas
+                )
                 body = partial(
-                    _rec_body_pallas, taps_np=taps_np, level=level,
+                    rec_body, taps_np=taps_np, level=level,
                     preserve_l2=self.plan.preserve_l2,
                     axis_names=self.spec, local_shape=self._local_shape,
                 )

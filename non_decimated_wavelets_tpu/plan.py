@@ -303,7 +303,15 @@ class NDDWT:
             from .ops import pallas_flat, pallas_resident
 
             taps_np = tuple(np.asarray(t) for t in self.taps)
-            if pallas_resident.resident_supported(
+            if self.ndim == 1 and pallas_flat.flat_supported(
+                self.shape, self.real_dtype, taps_np
+            ):
+                # (1, N) resident lift wastes 7/8 sublanes; flat is ~2x.
+                with jax.named_scope(f"nddwt.dec_rec.flatpair.L{level}"):
+                    y, xr = pallas_flat.pair_flat(
+                        x, taps_np, level, self.preserve_l2, float(threshold)
+                    )
+            elif pallas_resident.resident_supported(
                 self.shape, self.real_dtype, taps_np
             ):
                 with jax.named_scope(f"nddwt.dec_rec.pair.L{level}"):

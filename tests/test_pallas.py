@@ -3,6 +3,7 @@ the Pallas analogue of the reference's mat-vs-mex cross-backend tier,
 ``mex/mex_test.m``). On real TPU hardware the same kernels are exercised by
 ``bench.py``."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -42,12 +43,22 @@ def test_rec_roundtrip(shape, wv, level, pl2, rng):
 
 
 def test_fallback_unsupported_shape(rng):
-    """Shapes the kernels can't tile fall back to the XLA direct path."""
+    """Small non-tileable shapes now ride the flat-lane kernels (the XLA
+    direct path is a hazard on the target backend); large non-tileable
+    shapes still fall back to pure XLA."""
     plan = nw.NDDWT(wavelet="db2", shape=(30, 50), dtype=jnp.float32)
     x = jnp.asarray(rng.standard_normal((30, 50)), jnp.float32)
-    y = pallas_kernels.dec_pallas(x, plan.taps, 2)  # no pallas, pure XLA
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_kernels.dec_pallas(x, plan.taps, 2)  # flat-lane kernel
     yd = direct_path.dec_direct(x, plan.taps, 2)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+
+    big = (130, 34, 130)  # numel over the flat budget, lanes not 128-mult
+    planb = nw.NDDWT(wavelet="db2", shape=big, dtype=jnp.float32)
+    xb = jnp.asarray(rng.standard_normal(big), jnp.float32)
+    yb = pallas_kernels.dec_pallas(xb, planb.taps, 1)  # no pallas, pure XLA
+    ydb = direct_path.dec_direct(xb, planb.taps, 1)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ydb), atol=0)
 
 
 def test_plan_pallas_path(rng):
@@ -154,15 +165,17 @@ def test_4d_rec_roundtrip(shape, wv, level, pl2, rng):
 
 
 def test_4d_unsupported_falls_back(rng):
-    """Odd lane extents fall back to the XLA direct path via dec_pallas."""
+    """Odd lane extents decline the 4D kernels; small ones land on the
+    flat-lane kernels instead of the XLA direct path."""
     shape = (6, 6, 5, 5)  # L=25, not a multiple of 128
     plan = nw.NDDWT(wavelet="db1", shape=shape, dtype=jnp.float32)
     taps_np = tuple(np.asarray(t) for t in plan.taps)
     assert not pallas_4d.supported(shape, jnp.float32, taps_np)
     x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
-    y = pallas_kernels.dec_pallas(x, plan.taps, 2)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_kernels.dec_pallas(x, plan.taps, 2)
     yd = direct_path.dec_direct(x, plan.taps, 2)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=0)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
 
 
 # --------------------------------------------------------------------------
@@ -266,3 +279,42 @@ def test_flat_pair_with_threshold(rng):
     xd = direct_path.rec_direct(yd, plan.taps, 2, False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(xd), atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Autodiff through the Pallas dispatchers (linear_call: adjoint-based vjp).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("pl2", [False, True])
+def test_pallas_grad_matches_direct(pl2, rng):
+    shape, wv, level = (16, 128), "db3", 2
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=pl2, dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((plan.num_bands(level),) + shape),
+                    jnp.float32)
+
+    def loss_pallas(v):
+        return jnp.sum(w * pallas_kernels.dec_pallas(v, plan.taps, level))
+
+    def loss_direct(v):
+        return jnp.sum(w * direct_path.dec_direct(v, plan.taps, level))
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(loss_pallas)(x)
+    gd = jax.grad(loss_direct)(x)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=2e-4)
+
+    # rec side
+    y = direct_path.dec_direct(x, plan.taps, level)
+
+    def rloss_pallas(v):
+        return jnp.sum(pallas_kernels.rec_pallas(v, plan.taps, level, pl2) ** 2)
+
+    def rloss_direct(v):
+        return jnp.sum(direct_path.rec_direct(v, plan.taps, level, pl2) ** 2)
+
+    with pltpu.force_tpu_interpret_mode():
+        gp = jax.grad(rloss_pallas)(y)
+    gd = jax.grad(rloss_direct)(y)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=2e-4)

@@ -185,3 +185,30 @@ def test_sharded_pallas_infeasible_raises():
     plan = nw.NDDWT(wavelet="db2", shape=(64, 50), dtype=jnp.float32)
     with pytest.raises(ValueError, match="use_pallas"):
         ShardedNDDWT(plan, mesh, ("x", None), use_pallas=True)
+
+
+@pytest.mark.parametrize(
+    "shape,wv,spec,mesh_shape,level",
+    [
+        ((16, 16, 8, 16), "db2", ("x", "y", None, None), {"x": 2, "y": 2}, 2),
+        ((32, 16, 4, 32), "db1", ("x", None, None, None), {"x": 4}, 2),
+    ],
+)
+def test_sharded_pallas_4d_matches_oracle(shape, wv, spec, mesh_shape, level, rng):
+    """4D sharded: lane stage local, leading stage 'valid'-mode on
+    ppermute'd X/Y halos."""
+    _skip_if_few_devices(int(np.prod(list(mesh_shape.values()))))
+    mesh = make_mesh(mesh_shape)
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    sh = ShardedNDDWT(plan, mesh, spec, use_pallas=True)
+    assert sh.use_pallas
+    x = rng.standard_normal(shape).astype(np.float32)
+    xs = sh.shard_input(jnp.asarray(x))
+    with pltpu.force_tpu_interpret_mode():
+        y = sh.dec(xs, level)
+        xr = sh.rec(y)
+    gold = np.moveaxis(
+        oracle.dec(np.asarray(x, np.float64), wv, level), -1, 0
+    )
+    np.testing.assert_allclose(np.asarray(y), gold, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(xr), x, atol=1e-4)
