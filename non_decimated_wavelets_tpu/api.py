@@ -223,10 +223,16 @@ class nd_dwt_4D(_NdDwtBase):
 
     def __init__(self, wname, sizes, **options):
         method = str(options.pop("method", "")).lower()
+        # Both methods produce identical numerics here; on accelerators the
+        # engine must stay free to pick a safe path ('fft' would force
+        # complex FFTs the available TPU backend cannot execute), so the
+        # option only forces a path on CPU.
         if method == "conv":
-            options.setdefault("path", "direct")
+            if jax.default_backend() == "cpu":
+                options.setdefault("path", "direct")
         elif method == "fft":
-            options.setdefault("path", "fft")
+            if jax.default_backend() == "cpu":
+                options.setdefault("path", "fft")
         elif method:
             raise ValueError(f"Unknown method {method!r}: expected 'fft' or 'conv'")
         super().__init__(wname, sizes, **options)
@@ -241,7 +247,14 @@ class harr_nddwt_2D(_NdDwtBase):
     """
 
     _NDIM = 2
-    _FORCE_PATH = "direct"
+
+    @property
+    def _FORCE_PATH(self):
+        # The direct stencils are the class's identity, but on accelerators
+        # 'auto' resolves to the Pallas stencil kernels (identical math;
+        # the XLA direct lowering is a hazard on the target backend for
+        # small/odd shapes — see CLAUDE.md).
+        return "direct" if jax.default_backend() == "cpu" else None
 
     def __init__(self, wname="db1", sizes=None, **options):
         if sizes is None:
@@ -257,7 +270,10 @@ class harr_nddwt_4D(_NdDwtBase):
     ``Functions/harr_nddwt_4D.m`` — 16 unrolled two-tap stencil bands)."""
 
     _NDIM = 4
-    _FORCE_PATH = "direct"
+
+    @property
+    def _FORCE_PATH(self):
+        return "direct" if jax.default_backend() == "cpu" else None
 
     def __init__(self, wname="db1", sizes=None, **options):
         if sizes is None:
