@@ -177,3 +177,16 @@ def test_db12_superset(rng):
     y = plan.dec(x, 2)
     assert abs(np.linalg.norm(np.asarray(y)) / np.linalg.norm(x) - 1) < 1e-12
     assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
+
+
+def test_bfloat16_roundtrip(rng):
+    """bf16 plans work end-to-end (loose tolerance; accelerator dtype)."""
+    import jax.numpy as jnp
+
+    plan = nw.NDDWT(wavelet="db2", shape=(32, 32), dtype="bf16")
+    assert plan.real_dtype == jnp.dtype(jnp.bfloat16)
+    x = rng.standard_normal((32, 32)).astype(np.float32)
+    y = plan.dec(jnp.asarray(x, jnp.bfloat16), 2, band_axis=0)
+    assert y.dtype == jnp.bfloat16
+    xr = plan.rec(y, band_axis=0)
+    assert np.max(np.abs(np.asarray(xr, np.float32) - x)) < 0.15
