@@ -110,10 +110,19 @@ def main():
     dev = jax.devices()[0]
     log(f"backend={backend} device={dev}")
 
+    # Iteration counts per config: the tunneled TPU has a fixed ~30 ms
+    # dispatch+sync overhead PER TIMED LOOP CALL (measured: 2D 512^2 pair
+    # reads 3.68 ms/pair at 10 scan iters but 0.87 at 100); every config
+    # needs enough in-loop iterations that this fixed cost is noise. The
+    # reference's whole use case is 100+-iteration recon loops
+    # (README.md:2, BASELINE config #5), so the amortized number is the
+    # honest one.
     level = 3
     wavelet = "db4"
     shape = (128, 128, 128) if FAST else (256, 256, 256)
-    iters = 3 if FAST else 10
+    iters = 3 if FAST else 30
+    iters_small = 5 if FAST else 100
+    iters_4d = 3 if FAST else 5
     nvox = int(np.prod(shape))
 
     rng = np.random.default_rng(0)
@@ -193,7 +202,7 @@ def main():
             step = jax.jit(
                 lambda v, p=p, L=cfg_level: p.dec_rec(v, L, band_axis=0)[1]
             )
-            tp = time_loop(step, xi, max(3, iters))
+            tp = time_loop(step, xi, iters_small)
             log(f"{tag} {cfg_shape} fused pair: {tp*1e3:.2f} ms/pair -> "
                 f"{np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s")
     except Exception as e:  # pragma: no cover
@@ -216,7 +225,7 @@ def main():
             )
             df = jax.jit(lambda v, p=p, L=cfg_level: p.dec(v, L, band_axis=0))
             rf = jax.jit(lambda v, p=p: p.rec(v, band_axis=0))
-            tp = time_pair(df, rf, xi, max(3, iters // 2))
+            tp = time_pair(df, rf, xi, iters_4d)
             log(f"{tag} {cfg_shape}: {tp*1e3:.2f} ms/pair -> "
                 f"{np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s")
             del xi
@@ -235,7 +244,7 @@ def main():
         xs = sh.shard_input(x)
         dec_s = sh.dec_fn(level)
         rec_s = sh.rec_fn(level)
-        tp = time_pair(dec_s, rec_s, xs, max(3, iters // 2))
+        tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
         log(f"3D {shape} sharded(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
             f"{nvox/tp/1e6:.1f} Mvox/s per chip")
     except Exception as e:  # pragma: no cover
@@ -250,20 +259,22 @@ def main():
         from non_decimated_wavelets_tpu.models.cs_recon import fista_inpaint
 
         n = 512
+        fista_iters = 20 if FAST else 100
         img = rng.standard_normal((n, n)).astype(np.float32)
         mask_np = (rng.random((n, n)) < 0.6).astype(np.float32)
         bb = jnp.asarray(mask_np * img)
         p2 = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True, dtype=jnp.float32)
         run = jax.jit(
-            lambda b, m: fista_inpaint(p2, b, m, lam=1e-3, level=3, iters=20)
+            lambda b, m: fista_inpaint(p2, b, m, lam=1e-3, level=3,
+                                       iters=fista_iters)
         )
         mj = jnp.asarray(mask_np)
         _sync(run(bb, mj))  # compile
         t0 = time.perf_counter()
         _sync(run(bb, mj))
         t_fista = time.perf_counter() - t0
-        log(f"FISTA inpainting 512^2 db2 L3, 20 iters: {t_fista*1e3:.1f} ms "
-            f"({t_fista/20*1e3:.2f} ms/iter)")
+        log(f"FISTA inpainting 512^2 db2 L3, {fista_iters} iters: "
+            f"{t_fista*1e3:.1f} ms ({t_fista/fista_iters*1e3:.2f} ms/iter)")
     except Exception as e:  # pragma: no cover
         log(f"FISTA benchmark failed: {e!r}")
 
