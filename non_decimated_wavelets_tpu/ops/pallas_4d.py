@@ -73,13 +73,23 @@ def _chunk(Z: int, T: int):
     return None
 
 
-def _lane_tiles(X, Y, L):
-    """(tx, ty) for the lane stage: ~10 live full-L tiles (input, pair
-    carries, 4 band outputs, rotate/select temps — loop-ified taps keep one
-    rotate live at a time)."""
+def _lane_tiles(X, Y, L, K=8):
+    """(tx, ty, static) for the lane stage.
+
+    ``static=True``: fully unrolled taps with static roll shifts — measured
+    2.2x (analysis) / 1.6x (adjoint) over the while_loop form, but Mosaic
+    keeps every unrolled roll output live, so the tile must satisfy
+    ``(3.5K + 10) * tile_words <= budget`` (calibrated on v5e: K=8 at 64K
+    words compiles and runs; an 8x8x4096 unrolled db4 kernel OOM'd at
+    23.7MB scoped). Falls back to the loop-ified dynamic-shift form
+    (``static=False``, ~10 live tiles) for long filters / huge L."""
+    static_cap = _BUDGET / (3.5 * K + 10)
+    for tx, ty in ((8, 8), (4, 8), (2, 8), (1, 8)):
+        if X % tx == 0 and Y % ty == 0 and tx * ty * L <= static_cap:
+            return (tx, ty, True)
     for tx, ty in ((8, 8), (4, 8), (2, 8), (1, 8)):
         if X % tx == 0 and Y % ty == 0 and 10 * tx * ty * L <= _BUDGET:
-            return (tx, ty)
+            return (tx, ty, False)
     return None
 
 
@@ -109,15 +119,85 @@ def supported(shape, dtype, taps_np) -> bool:
     if zc is None:
         return False
     K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+    K_lane = max(taps_np[2].shape[1], taps_np[3].shape[1])
     return (
-        _lane_tiles(X, Y, L) is not None
+        _lane_tiles(X, Y, L, K_lane) is not None
         and _lead_tiles(X, Y, zc * T, K0, K1) is not None
     )
 
 
 # ---------------------------------------------------------------------------
 # Lane-axis correlation machinery (Z and T live in the lane dimension).
+#
+# Two forms, picked by ``_lane_tiles``:
+# * static (preferred): taps fully unrolled, every roll shift a compile-time
+#   constant (plain ``tpu.rotate``); the T-block wrap's second rotate is by
+#   the constant ``L - T`` and the boundary mask compare is hoisted per tap
+#   against a once-computed ``lane mod T``. Measured 2.2x faster analysis /
+#   1.6x adjoint than the loop form on v5e (the VPU cost is the rolls, not
+#   the FMAs).
+# * dynamic: i32 while_loop with ``tpu.dynamic_rotate`` — one rotate live
+#   at a time, used when unrolled liveness would blow the 16MB scoped VMEM
+#   (long filters x large L; see ``_lane_tiles``).
 # ---------------------------------------------------------------------------
+
+
+def _roll_z_static(v, s, Z, T):
+    """Static circular Z-shift on the flattened (Z,T) lane axis: a plain
+    lane rotate by ``s*T`` (t is preserved exactly)."""
+    L = v.shape[-1]
+    sh = ((s % Z) * T) % L
+    return pltpu.roll(v, np.int32(sh), axis=v.ndim - 1) if sh else v
+
+
+def _roll_t_static(v, s, T, lane_mod_T):
+    """Static circular T-shift: lanes with ``t < s`` crossed a T-block
+    boundary and take the extra constant rotate by ``L - T``."""
+    L = v.shape[-1]
+    s = s % T
+    if s == 0:
+        return v
+    r_main = pltpu.roll(v, np.int32(s), axis=v.ndim - 1)
+    r_wrap = pltpu.roll(r_main, np.int32(L - T), axis=v.ndim - 1)
+    return jnp.where(lane_mod_T < np.int32(s), r_wrap, r_main)
+
+
+def _lane_mod_T(shape, T):
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jax.lax.rem(lane, np.int32(T))
+
+
+def _pair_static(v, taps_np, N, T, is_t, lane_mod_T):
+    """(lo, hi) analysis pair, unrolled static shifts (anchor K//2 - 1);
+    both filter rows share every roll."""
+    K = taps_np.shape[1]
+    o = K // 2 - 1
+    alo = ahi = None
+    for j in range(K):
+        s = (o - j) % N
+        r = (_roll_t_static(v, s, T, lane_mod_T) if is_t
+             else _roll_z_static(v, s, N, T))
+        tl = float(taps_np[0, j]) * r
+        th = float(taps_np[1, j]) * r
+        alo = tl if alo is None else alo + tl
+        ahi = th if ahi is None else ahi + th
+    return alo, ahi
+
+
+def _adj_static(v, taps_np, sel, N, T, is_t, lane_mod_T):
+    """Adjoint single-row correlation, unrolled static shifts (reversed
+    taps at the mirrored anchor K//2)."""
+    K = taps_np.shape[1]
+    anchor = K // 2
+    trow = taps_np[sel]
+    acc = None
+    for j in range(K):
+        s = (anchor - j) % N
+        r = (_roll_t_static(v, s, T, lane_mod_T) if is_t
+             else _roll_z_static(v, s, N, T))
+        term = float(trow[K - 1 - j]) * r
+        acc = term if acc is None else acc + term
+    return acc
 
 
 def _lane_shift_dyn(v, T, is_t: bool, shift):
@@ -275,14 +355,27 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
 
 
 def _lane_dec_call(x3, taps_np, T, tiles):
-    """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read."""
+    """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read.
+
+    Static path runs the masked (expensive) T-pair ONCE on the input and
+    the cheap Z-pairs on its two outputs — ~20% fewer vector ops than the
+    Z-first order, on top of the static-shift win."""
     X, Y, L = x3.shape
     Z = L // T
-    tx, ty = tiles
+    tx, ty, static = tiles
+    tz_np, tt_np = taps_np[2], taps_np[3]
     taps_ops = [jnp.asarray(taps_np[2], x3.dtype), jnp.asarray(taps_np[3], x3.dtype)]
 
     def kernel(x_ref, tz_ref, tt_ref, out_ref):
         v = x_ref[...]
+        if static:
+            lmt = _lane_mod_T(v.shape, T)
+            tlo, thi = _pair_static(v, tt_np, T, T, True, lmt)
+            for tbit, vt in enumerate((tlo, thi)):
+                zlo, zhi = _pair_static(vt, tz_np, Z, T, False, None)
+                out_ref[np.int32(2 * tbit)] = zlo  # c = zbit + 2*tbit
+                out_ref[np.int32(2 * tbit + 1)] = zhi
+            return
         zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
         for zbit, vz in enumerate((zlo, zhi)):
             tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
@@ -437,7 +530,7 @@ def dec4(x, taps_np, level: int):
     zc = _chunk(Z, T)
     zct = zc * T
     Zcnt = Z // zc
-    lane_t = _lane_tiles(X, Y, L)
+    lane_t = _lane_tiles(X, Y, L, max(taps_np[2].shape[1], taps_np[3].shape[1]))
     lead_t = _lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
     nb = 16
     B = nb + (nb - 1) * (level - 1)
@@ -549,16 +642,38 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
 
 def _lane_adj_call(partial, taps_np, T, tiles, scale):
     """Adjoint lane stage: (4, X, Y, L) -> (X, Y, L); the reference's
-    per-level ``1/2^d`` folded into the accumulate."""
+    per-level ``1/2^d`` folded into the accumulate.
+
+    Static path tree-factors ``sum_c Lane_c^T = sum_t T_t^T [sum_z Z_z^T]``
+    so the masked T-adjoint runs twice instead of four times (4 cheap
+    Z-adjoints + 2 T-adjoints vs 4+4 unfactored)."""
     _, X, Y, L = partial.shape
     Z = L // T
-    tx, ty = tiles
+    tx, ty, static = tiles
+    tz_np, tt_np = taps_np[2], taps_np[3]
     taps_ops = [
         jnp.asarray(taps_np[2], partial.dtype),
         jnp.asarray(taps_np[3], partial.dtype),
     ]
 
     def kernel(p_ref, tz_ref, tt_ref, out_ref):
+        if static:
+            lmt = _lane_mod_T((tx, ty, L), T)
+            outer = None
+            for tbit in range(2):
+                inner = None
+                for zbit in range(2):
+                    c = zbit + 2 * tbit
+                    vz = _adj_static(
+                        p_ref[np.int32(c)], tz_np, zbit, Z, T, False, None
+                    )
+                    inner = vz if inner is None else inner + vz
+                vt = _adj_static(inner, tt_np, tbit, T, T, True, lmt)
+                outer = vt if outer is None else outer + vt
+            if scale != 1.0:
+                outer = outer * scale
+            out_ref[...] = outer
+            return
         acc = None
         for c in range(4):
             v = p_ref[np.int32(c)]
@@ -600,7 +715,7 @@ def rec4(y, taps_np, level: int, preserve_l2: bool):
     zc = _chunk(Z, T)
     zct = zc * T
     Zcnt = Z // zc
-    lane_t = _lane_tiles(X, Y, L)
+    lane_t = _lane_tiles(X, Y, L, max(taps_np[2].shape[1], taps_np[3].shape[1]))
     lead_t = _lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
     nb = 16
     scale = 1.0 if preserve_l2 else 1.0 / nb

@@ -274,7 +274,7 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
     zc = p4._chunk(Z, T)
     zct = zc * T
     Zcnt = Z // zc
-    lane_t = p4._lane_tiles(X, Y, L)
+    lane_t = p4._lane_tiles(X, Y, L, max(taps_np[2].shape[1], taps_np[3].shape[1]))
     lead_t = p4._lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
     halos = p4._lead_halos(taps_np[0].shape[1], taps_np[1].shape[1],
                            adjoint=False)
@@ -311,7 +311,7 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
     zc = p4._chunk(Z, T)
     zct = zc * T
     Zcnt = Z // zc
-    lane_t = p4._lane_tiles(X, Y, L)
+    lane_t = p4._lane_tiles(X, Y, L, max(taps_np[2].shape[1], taps_np[3].shape[1]))
     lead_t = p4._lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
     halos = p4._lead_halos(taps_np[0].shape[1], taps_np[1].shape[1],
                            adjoint=True)
