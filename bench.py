@@ -122,7 +122,7 @@ def main():
     shape = (128, 128, 128) if FAST else (256, 256, 256)
     iters = 3 if FAST else 30
     iters_small = 5 if FAST else 100
-    iters_4d = 3 if FAST else 5
+    iters_4d = 3 if FAST else 10
     nvox = int(np.prod(shape))
 
     rng = np.random.default_rng(0)
@@ -141,6 +141,20 @@ def main():
     # f32 roundtrip error (sanity)
     err32 = float(jnp.max(jnp.abs(rec_fn(dec_fn(x)) - x)))
     log(f"f32 roundtrip max-abs err: {err32:.3e}")
+
+    # bf16 storage: the Pallas kernels are DMA-bound, so halving the bytes
+    # is near-free throughput for loops that tolerate ~3-digit precision.
+    try:
+        plan16 = nw.NDDWT(wavelet=wavelet, shape=shape, dtype=jnp.bfloat16)
+        x16 = jax.device_put(jnp.asarray(x_np, jnp.bfloat16), dev)
+        d16 = jax.jit(lambda v: plan16.dec(v, level, band_axis=0))
+        r16 = jax.jit(lambda v: plan16.rec(v, band_axis=0))
+        t16 = time_pair(d16, r16, x16, iters)
+        log(f"3D {shape} db4 L{level} bf16: {t16*1e3:.2f} ms/pair -> "
+            f"{nvox/t16/1e6:.1f} Mvox/s")
+        del x16
+    except Exception as e:  # pragma: no cover
+        log(f"bf16 config failed: {e!r}")
 
     # ---------------- accuracy at float64 (direct path) ------------------
     # TPU has no f64 FFT; the direct path carries the <=1e-12 requirement

@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _round8
+from .pallas_kernels import _round8, _up
 
 # Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
 # naive stage-sum; this bound maps to the 16MB limit — see
@@ -364,23 +364,26 @@ def _lane_dec_call(x3, taps_np, T, tiles):
     Z = L // T
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
-    taps_ops = [jnp.asarray(taps_np[2], x3.dtype), jnp.asarray(taps_np[3], x3.dtype)]
+    # SMEM taps in the compute dtype (f32 for bf16 arrays — see _up).
+    tdt = jnp.float32 if x3.dtype == jnp.dtype(jnp.bfloat16) else x3.dtype
+    taps_ops = [jnp.asarray(taps_np[2], tdt), jnp.asarray(taps_np[3], tdt)]
 
     def kernel(x_ref, tz_ref, tt_ref, out_ref):
-        v = x_ref[...]
+        v = _up(x_ref[...])
+        od = out_ref.dtype
         if static:
             lmt = _lane_mod_T(v.shape, T)
             tlo, thi = _pair_static(v, tt_np, T, T, True, lmt)
             for tbit, vt in enumerate((tlo, thi)):
                 zlo, zhi = _pair_static(vt, tz_np, Z, T, False, None)
-                out_ref[np.int32(2 * tbit)] = zlo  # c = zbit + 2*tbit
-                out_ref[np.int32(2 * tbit + 1)] = zhi
+                out_ref[np.int32(2 * tbit)] = zlo.astype(od)  # c = zbit+2*tbit
+                out_ref[np.int32(2 * tbit + 1)] = zhi.astype(od)
             return
         zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
         for zbit, vz in enumerate((zlo, zhi)):
             tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
-            out_ref[np.int32(zbit)] = tlo
-            out_ref[np.int32(zbit + 2)] = thi
+            out_ref[np.int32(zbit)] = tlo.astype(od)
+            out_ref[np.int32(zbit + 2)] = thi.astype(od)
 
     return pl.pallas_call(
         kernel,
@@ -406,14 +409,17 @@ def _lane_dec_call(x3, taps_np, T, tiles):
 
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
-                   shape_xy=None, padded=None):
+                   shape_xy=None, padded=None, out_slots=2,
+                   approx_to_big=False):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
 
     ``shape_xy``/``padded``: 'valid' mode — ``temp5`` is halo-padded on the
     ``padded`` (X, Y) axes by the ``_lead_halos`` widths and ``shape_xy``
-    is the unpadded output extent."""
+    is the unpadded output extent. ``approx_to_big``: final level — the
+    approximation is DMA'd into band 0 of ``big5`` like a detail (no
+    blocked approx output, no trailing XLA ``at[0].set`` copy)."""
     _, X, Y, Zcnt, _ = temp5.shape
     if shape_xy is not None:
         X, Y = shape_xy
@@ -426,7 +432,12 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
     ey = ty + 2 * halos[1][0]
     start1 = halos[1][0] - (K1 // 2 - 1)
 
-    def kernel(temp_hbm, big_in, big_ref, app_ref, buf, stage, sem_in, sem_out):
+    def kernel(temp_hbm, big_in, big_ref, *rest):
+        if approx_to_big:
+            app_ref = None
+            buf, stage, sem_in, sem_out = rest
+        else:
+            app_ref, buf, stage, sem_in, sem_out = rest
         del big_in  # aliased to big_ref (input_output_aliases)
         i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -438,7 +449,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
 
         for cp in load(0, 0):
             cp.start()
-        inflight = [None, None]
+        inflight = [None] * out_slots
         out_slot = 0
         for c in range(4):
             if c + 1 < 4:
@@ -446,7 +457,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                     cp.start()
             for cp in load(c, c % 2):
                 cp.wait()
-            v = buf[np.int32(c % 2)]
+            v = _up(buf[np.int32(c % 2)])
             # Axis 1 (sublane) first so extents shrink before the axis-0
             # fan-out; the aligned surplus halo is absorbed into the slice
             # starts (no trimming copy).
@@ -467,17 +478,18 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                     xhi = th if xhi is None else xhi + th
                 for xbit, val in enumerate((xlo, xhi)):
                     b = 4 * c + 2 * ybit + xbit
-                    if b == 0:
-                        app_ref[...] = val
+                    if b == 0 and not approx_to_big:
+                        app_ref[...] = val.astype(app_ref.dtype)
                         continue
                     if inflight[out_slot] is not None:
                         inflight[out_slot].wait()
-                    stage[np.int32(out_slot)] = val
+                    stage[np.int32(out_slot)] = val.astype(stage.dtype)
+                    out_band = 0 if b == 0 else band_off + b - 1
                     cpy = pltpu.make_async_copy(
                         stage.at[np.int32(out_slot)],
                         big_ref.at[
                             (
-                                np.int32(band_off + b - 1),
+                                np.int32(out_band),
                                 pl.ds(i * np.int32(tx), tx),
                                 pl.ds(j * np.int32(ty), ty),
                                 k,
@@ -488,12 +500,26 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                     )
                     cpy.start()
                     inflight[out_slot] = cpy
-                    out_slot ^= 1
+                    out_slot = (out_slot + 1) % out_slots
         for cpy in inflight:
             if cpy is not None:
                 cpy.wait()
 
     B = big5.shape[0]
+    if approx_to_big:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct(big5.shape, temp5.dtype)
+    else:
+        out_specs = (
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (tx, ty, zct), lambda i, j, k: (i, j, k)
+            ),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(big5.shape, temp5.dtype),
+            jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
+        )
     return pl.pallas_call(
         kernel,
         grid=(X // tx, Y // ty, Zcnt),
@@ -501,22 +527,14 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (tx, ty, zct), lambda i, j, k: (i, j, k)
-            ),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(big5.shape, temp5.dtype),
-            jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM((2, ex0, ey, zct), temp5.dtype),
-            pltpu.VMEM((2, tx, ty, zct), temp5.dtype),
+            pltpu.VMEM((out_slots, tx, ty, zct), temp5.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((out_slots,)),
         ],
     )(temp5, big5)
 
@@ -538,13 +556,19 @@ def dec4(x, taps_np, level: int):
     big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
     approx = x.reshape(X, Y, L)
     off = B
-    for _ in range(level):
+    for lvl in range(level):
         off -= nb - 1
+        final = lvl == level - 1
         temp5 = _lane_dec_call(approx, taps_np, T, lane_t).reshape(
             4, X, Y, Zcnt, zct
         )
-        big5, approx = _lead_dec_call(temp5, big5, off, taps_np, lead_t, zct)
-    big5 = big5.at[0].set(approx.reshape(X, Y, Zcnt, zct))
+        out = _lead_dec_call(temp5, big5, off, taps_np, lead_t, zct,
+                             approx_to_big=final)
+        if final:
+            big5 = out
+        else:
+            big5, app = out
+            approx = app.reshape(X, Y, L)
     return big5.reshape(B, X, Y, Z, T)
 
 
@@ -605,7 +629,7 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                         cp.start()
                 for cp in load(b, slot):
                     cp.wait()
-                v = buf[np.int32(slot)]
+                v = _up(buf[np.int32(slot)])
                 trow1 = t1[(a >> 1) & 1][::-1]
                 y1 = None
                 for jj in range(K1):
@@ -619,7 +643,7 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                     term = float(trow0[jj]) * r
                     y0 = term if y0 is None else y0 + term
                 acc = y0 if acc is None else acc + y0
-            out_ref[np.int32(c)] = acc
+            out_ref[np.int32(c)] = acc.astype(out_ref.dtype)
 
     operands = (y5,) if approx is None else (y5, approx)
     # X-axis adjoint halos are exact (h_l = K0//2): slice start 0 in the
@@ -651,12 +675,15 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
     Z = L // T
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
+    tdt = (jnp.float32 if partial.dtype == jnp.dtype(jnp.bfloat16)
+           else partial.dtype)
     taps_ops = [
-        jnp.asarray(taps_np[2], partial.dtype),
-        jnp.asarray(taps_np[3], partial.dtype),
+        jnp.asarray(taps_np[2], tdt),
+        jnp.asarray(taps_np[3], tdt),
     ]
 
     def kernel(p_ref, tz_ref, tt_ref, out_ref):
+        od = out_ref.dtype
         if static:
             lmt = _lane_mod_T((tx, ty, L), T)
             outer = None
@@ -665,24 +692,25 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
                 for zbit in range(2):
                     c = zbit + 2 * tbit
                     vz = _adj_static(
-                        p_ref[np.int32(c)], tz_np, zbit, Z, T, False, None
+                        _up(p_ref[np.int32(c)]), tz_np, zbit, Z, T, False,
+                        None
                     )
                     inner = vz if inner is None else inner + vz
                 vt = _adj_static(inner, tt_np, tbit, T, T, True, lmt)
                 outer = vt if outer is None else outer + vt
             if scale != 1.0:
                 outer = outer * scale
-            out_ref[...] = outer
+            out_ref[...] = outer.astype(od)
             return
         acc = None
         for c in range(4):
-            v = p_ref[np.int32(c)]
+            v = _up(p_ref[np.int32(c)])
             vt = _lane_adj(v, tt_ref, (c >> 1) & 1, Z, T, is_t=True)
             vz = _lane_adj(vt, tz_ref, c & 1, Z, T, is_t=False)
             acc = vz if acc is None else acc + vz
         if scale != 1.0:
             acc = acc * scale
-        out_ref[...] = acc
+        out_ref[...] = acc.astype(od)
 
     return pl.pallas_call(
         kernel,

@@ -41,6 +41,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_kernels import _up
+
 _ROWS = 8
 # ~8 live (8, P/8) arrays (approx, acc, rotate temps, stage, bufs) must fit
 # the 16MB scoped VMEM at Mosaic's ~2.4x accounting.
@@ -166,7 +168,7 @@ def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
             dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
             dma.start()
             dma.wait()
-            approx = xbuf[...]
+            approx = _up(xbuf[...])
             inflight = [None, None]
             slot = 0
             off = B
@@ -183,7 +185,7 @@ def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
                     )
                     if inflight[slot] is not None:
                         inflight[slot].wait()
-                    stage[np.int32(slot)] = val
+                    stage[np.int32(slot)] = val.astype(stage.dtype)
                     cp = pltpu.make_async_copy(
                         stage.at[np.int32(slot)],
                         y_hbm.at[np.int32(off + b - 1)],
@@ -195,7 +197,7 @@ def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
                 approx = new_approx
             if inflight[slot] is not None:
                 inflight[slot].wait()
-            stage[np.int32(slot)] = approx
+            stage[np.int32(slot)] = approx.astype(stage.dtype)
             cp = pltpu.make_async_copy(
                 stage.at[np.int32(slot)], y_hbm.at[np.int32(0)],
                 sem_out.at[np.int32(slot)],
@@ -244,7 +246,7 @@ def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
                 cp = inflight_r.pop(step, None)
                 if cp is not None:
                     cp.wait()
-                    v = bufs[np.int32(step % 2)]
+                    v = _up(bufs[np.int32(step % 2)])
                 else:
                     v = acc
                 contrib = _apply_band(
@@ -253,7 +255,7 @@ def _make_flat_pair_kernel(shape, Ks, level, B, nb, scale, lam, C,
                 lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
                 step += 1
             acc = lvl_acc * scale if scale != 1.0 else lvl_acc
-        xbuf[...] = acc
+        xbuf[...] = acc.astype(xbuf.dtype)
         cp = pltpu.make_async_copy(xbuf, xr_hbm, sem_wr)
         cp.start()
         cp.wait()
@@ -270,7 +272,8 @@ def _call(mode, arr, taps_np, level, preserve_l2, lam, shape):
     B = nb + (nb - 1) * (level - 1)
     scale = 1.0 if preserve_l2 else 1.0 / nb
     Ks = tuple(t.shape[1] for t in taps_np)
-    taps_ops = [jnp.asarray(t, arr.dtype) for t in taps_np]
+    tdt = jnp.float32 if arr.dtype == jnp.dtype(jnp.bfloat16) else arr.dtype
+    taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     def lift(a):
         flat = a.reshape(-1)

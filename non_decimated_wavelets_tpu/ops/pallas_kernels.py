@@ -65,6 +65,15 @@ def _supported(shape, dtype):
     )
 
 
+def _up(v):
+    """In-kernel compute dtype: Mosaic cannot rotate non-32-bit vectors
+    ("Rotate with non-32-bit data", observed on v5e), so bf16 tiles are
+    upcast to f32 for the roll/accumulate chains. DMA buffers and band
+    outputs stay bf16 — the HBM traffic (the bottleneck) is still halved —
+    and the K-tap accumulation gains f32 precision for free."""
+    return v.astype(jnp.float32) if v.dtype == jnp.dtype(jnp.bfloat16) else v
+
+
 def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
     """(lo, hi) correlation pair along ``axis`` of one in-VMEM array.
 
@@ -162,18 +171,27 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
 
 
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
-                     padded=None):
+                     padded=None, approx_to_big=False):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
     order (each pass appends its high half as the new MSB; axis 0 ends up
     at bit 0). Outputs: details (bands 1..2^d-1) and the approximation.
-    ``padded``: per-leading-axis 'valid' mode (see ``_seg_copies_one``)."""
+    ``padded``: per-leading-axis 'valid' mode (see ``_seg_copies_one``).
+    ``approx_to_big``: final level — the approximation is DMA'd into band 0
+    of the aliased multilevel output instead of a separate blocked output
+    (kills the trailing ``big.at[0].set`` XLA copy, a full-array pass at
+    XLA's ~55 GB/s on this device)."""
     nb = 2**ndim
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
 
-    def kernel(x_hbm, big_in, big_ref, app_ref, buf, stage, sem, sem_out):
+    def kernel(x_hbm, big_in, big_ref, *rest):
+        if approx_to_big:
+            app_ref = None
+            buf, stage, sem, sem_out = rest
+        else:
+            app_ref, buf, stage, sem, sem_out = rest
         del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
@@ -184,7 +202,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         for c in copies:
             c.wait()
 
-        vals = [buf[...]]
+        vals = [_up(buf[...])]
         for ax in range(ndim):
             taps_np = taps_np_tuple[ax]
             K = taps_np.shape[1]
@@ -212,17 +230,19 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                 new_lo.append(lo)
                 new_hi.append(hi)
             vals = new_lo + new_hi  # newest axis bit = MSB: identity order
-        app_ref[...] = vals[0]
+        if not approx_to_big:
+            app_ref[...] = vals[0].astype(app_ref.dtype)
         # Detail bands go straight into the full multilevel output array
         # (ANY space, aliased input/output) via staged DMAs at the level's
         # static band offset: no XLA band concatenation anywhere in dec.
         inflight = [None, None]
-        for b in range(1, nb):
+        for b in range(0 if approx_to_big else 1, nb):
             slot = (b - 1) % 2
             if inflight[slot] is not None:
                 inflight[slot].wait()
-            stage[np.int32(slot)] = vals[b]
-            out_idx = (np.int32(band_off + b - 1),) + tuple(
+            stage[np.int32(slot)] = vals[b].astype(stage.dtype)
+            out_band = 0 if b == 0 else band_off + b - 1
+            out_idx = (np.int32(out_band),) + tuple(
                 pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
                 for ax in range(n_lead)
             ) + (slice(None),)
@@ -269,10 +289,12 @@ def _dec_tiles(shape, taps_np):
     return None
 
 
-def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None):
+def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
+                     approx_to_big=False):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
-    (big, next approx).
+    (big, next approx) — or just ``big`` when ``approx_to_big`` (final
+    level: the approximation is DMA'd into band 0 in-kernel).
 
     ``shape``/``padded``: 'valid' mode — ``x`` is already halo-padded on
     the ``padded`` leading axes (by the ``_dec_halos`` widths) and
@@ -293,25 +315,32 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None):
     ) + (shape[-1],)
 
     B = big.shape[0]
-    return pl.pallas_call(
-        _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=(
+    if approx_to_big:
+        out_specs = pl.BlockSpec(memory_space=pl.ANY)
+        out_shape = jax.ShapeDtypeStruct((B,) + shape, x.dtype)
+    else:
+        out_specs = (
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 tuple(tiles) + (shape[-1],),
                 lambda *gi: gi + (np.int32(0),),
                 memory_space=pltpu.VMEM,
             ),
-        ),
-        out_shape=(
+        )
+        out_shape = (
             jax.ShapeDtypeStruct((B,) + shape, x.dtype),
             jax.ShapeDtypeStruct(shape, x.dtype),
-        ),
+        )
+    return pl.pallas_call(
+        _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
+                         approx_to_big),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM(buf_tile, x.dtype),
@@ -376,10 +405,14 @@ def _dec_dispatch(x, taps_np, level: int):
     big = jnp.empty((B,) + x.shape, x.dtype)
     approx = x
     off = B
-    for _ in range(level):
+    for lvl in range(level):
         off -= nb - 1
-        big, approx = _fused_dec_level(approx, big, off, taps_np)
-    return big.at[0].set(approx)
+        final = lvl == level - 1
+        out = _fused_dec_level(approx, big, off, taps_np,
+                               approx_to_big=final)
+        if final:
+            return out
+        big, approx = out
 
 
 # ---------------------------------------------------------------------------
@@ -485,7 +518,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
                     c.start()
             for c in seg_copies(b, slot):
                 c.wait()
-            v = bufs[np.int32(slot)]
+            v = _up(bufs[np.int32(slot)])
             # Separable adjoint of this band: leading axes first so the
             # working extents shrink before the lane-roll pass (lower peak
             # VMEM liveness). The over-wide W-halo is absorbed into the
@@ -520,7 +553,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
             acc = v if acc is None else acc + v
         if scale != 1.0:
             acc = acc * scale
-        out_ref[...] = acc
+        out_ref[...] = acc.astype(out_ref.dtype)
 
     return kernel
 

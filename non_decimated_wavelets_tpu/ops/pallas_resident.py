@@ -28,6 +28,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .pallas_kernels import _up
+
 # VMEM working-set budget in f32 words: array x ~6 live copies (input,
 # accumulator, one roll, stage buffers) — sized to admit 512^2 f32.
 _BUDGET_WORDS = 1_600_000
@@ -89,10 +91,10 @@ def _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb):
         dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
         dma.start()
         dma.wait()
-        approx = xbuf[...]
+        approx = _up(xbuf[...])
 
         def write_band(idx, val, slot):
-            stage[np.int32(slot)] = val
+            stage[np.int32(slot)] = val.astype(stage.dtype)
             c = pltpu.make_async_copy(
                 stage.at[np.int32(slot)],
                 out_hbm.at[np.int32(idx)],
@@ -141,7 +143,8 @@ def dec_resident(x, taps_np, level: int):
     lifted = _lifted_shape(shape)
     xl = x.reshape(lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    taps_ops = [jnp.asarray(t, x.dtype) for t in taps_np]
+    tdt = jnp.float32 if x.dtype == jnp.dtype(jnp.bfloat16) else x.dtype
+    taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     out = pl.pallas_call(
         _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb),
@@ -178,10 +181,10 @@ def _dec_phase(x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
     dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
     dma.start()
     dma.wait()
-    approx = xbuf[...]
+    approx = _up(xbuf[...])
 
     def write_band(idx, val, slot):
-        stage[np.int32(slot)] = val
+        stage[np.int32(slot)] = val.astype(stage.dtype)
         c = pltpu.make_async_copy(
             stage.at[np.int32(slot)],
             out_hbm.at[np.int32(idx)],
@@ -266,7 +269,7 @@ def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
             c = inflight.pop(step, None)
             if c is not None:
                 c.wait()
-                v = bufs[np.int32(step % 2)]
+                v = _up(bufs[np.int32(step % 2)])
             else:
                 v = acc  # running approximation, already in VMEM
             contrib = v
@@ -303,7 +306,7 @@ def _make_res_pair_kernel(ndim_sp, lifted, Ks, level, B, nb, scale, lam):
             y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
             bufs, sem_rd,
         )
-        xbuf[...] = acc
+        xbuf[...] = acc.astype(xbuf.dtype)
         c = pltpu.make_async_copy(xbuf, xr_hbm, sem_wr)
         c.start()
         c.wait()
@@ -325,7 +328,8 @@ def pair_resident(x, taps_np, level: int, preserve_l2: bool, lam: float = 0.0):
     lifted = _lifted_shape(shape)
     xl = x.reshape(lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    taps_ops = [jnp.asarray(t, x.dtype) for t in taps_np]
+    tdt = jnp.float32 if x.dtype == jnp.dtype(jnp.bfloat16) else x.dtype
+    taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     y, xr = pl.pallas_call(
         _make_res_pair_kernel(ndim_sp, lifted, Ks, level, B, nb, scale,
@@ -407,7 +411,7 @@ def _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale):
                 c = inflight.pop(step, None)
                 if c is not None:
                     c.wait()
-                    v = bufs[np.int32(step % 2)]
+                    v = _up(bufs[np.int32(step % 2)])
                 else:
                     v = acc  # running approximation, already in VMEM
                 contrib = v
@@ -424,7 +428,7 @@ def _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale):
                 lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
                 step += 1
             acc = lvl_acc * scale if scale != 1.0 else lvl_acc
-        stage[...] = acc
+        stage[...] = acc.astype(stage.dtype)
         c = pltpu.make_async_copy(stage, out_hbm, sem_out)
         c.start()
         c.wait()
@@ -442,7 +446,8 @@ def rec_resident(y, taps_np, level: int, preserve_l2: bool):
     lifted = _lifted_shape(shape)
     yl = y.reshape((B,) + lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    taps_ops = [jnp.asarray(t, y.dtype) for t in taps_np]
+    tdt = jnp.float32 if y.dtype == jnp.dtype(jnp.bfloat16) else y.dtype
+    taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     out = pl.pallas_call(
         _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale),

@@ -228,13 +228,17 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
     big = jnp.empty((B,) + tuple(local_shape), x.dtype)
     approx = x
     off = B
-    for _ in range(level):
+    for lvl in range(level):
         off -= nb - 1
+        final = lvl == level - 1
         xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
-        big, approx = pk._fused_dec_level(
-            xp, big, off, taps_np, shape=tuple(local_shape), padded=padded
+        out = pk._fused_dec_level(
+            xp, big, off, taps_np, shape=tuple(local_shape), padded=padded,
+            approx_to_big=final,
         )
-    return big.at[0].set(approx)
+        if final:
+            return out
+        big, approx = out
 
 
 def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
@@ -285,8 +289,9 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
     big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
     approx = x.reshape(X, Y, L)
     off = B
-    for _ in range(level):
+    for lvl in range(level):
         off -= nb - 1
+        final = lvl == level - 1
         temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
             4, X, Y, Zcnt, zct
         )
@@ -294,12 +299,15 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
             temp5 = _halo_pad(temp5, 1, axis_names[0], halos[0][0], halos[0][1])
         if padded[1]:
             temp5 = _halo_pad(temp5, 2, axis_names[1], halos[1][0], halos[1][1])
-        big5, app = p4._lead_dec_call(
+        out = p4._lead_dec_call(
             temp5, big5, off, taps_np, lead_t, zct,
-            shape_xy=(X, Y), padded=padded,
+            shape_xy=(X, Y), padded=padded, approx_to_big=final,
         )
-        approx = app.reshape(X, Y, L)
-    big5 = big5.at[0].set(approx.reshape(X, Y, Zcnt, zct))
+        if final:
+            big5 = out
+        else:
+            big5, app = out
+            approx = app.reshape(X, Y, L)
     return big5.reshape((B,) + tuple(local_shape))
 
 

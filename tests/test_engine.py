@@ -179,7 +179,7 @@ def test_db12_superset(rng):
     assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
 
 
-def test_bfloat16_roundtrip(rng):
+def test_bfloat16_roundtrip_band_axis(rng):
     """bf16 plans work end-to-end (loose tolerance; accelerator dtype)."""
     import jax.numpy as jnp
 

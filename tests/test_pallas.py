@@ -318,3 +318,33 @@ def test_pallas_grad_matches_direct(pl2, rng):
         gp = jax.grad(rloss_pallas)(y)
     gd = jax.grad(rloss_direct)(y)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gd), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# bf16 through every kernel family: buffers/bands stay bf16 (half the HBM
+# traffic), in-kernel compute upcasts to f32 (Mosaic cannot rotate
+# non-32-bit vectors — "Rotate with non-32-bit data", observed on v5e).
+# Interpret mode checks the dtype plumbing and numerics.
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,wv,level",
+    [
+        ((16, 16, 128), "db4", 2),   # tiled 3D kernels
+        ((64, 128), "db2", 2),       # resident
+        ((30, 50), "db2", 2),        # flat-lane
+        ((16, 16, 16, 16), "db2", 2),  # 4D two-stage
+    ],
+)
+def test_bf16_kernels_roundtrip(shape, wv, level, rng):
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.bfloat16)
+    x32 = rng.standard_normal(shape).astype(np.float32)
+    x = jnp.asarray(x32, jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_kernels.dec_pallas(x, plan.taps, level)
+        assert y.dtype == jnp.bfloat16
+        xr = pallas_kernels.rec_pallas(y, plan.taps, level, False)
+    assert xr.dtype == jnp.bfloat16
+    err = np.max(np.abs(np.asarray(xr, np.float32) - x32))
+    assert err < 0.25  # bf16 storage: ~2-3 significant digits
