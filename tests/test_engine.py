@@ -190,3 +190,32 @@ def test_bfloat16_roundtrip_band_axis(rng):
     assert y.dtype == jnp.bfloat16
     xr = plan.rec(y, band_axis=0)
     assert np.max(np.abs(np.asarray(xr, np.float32) - x)) < 0.15
+
+
+def test_batched_matches_per_item(rng):
+    """dec_batched/rec_batched == stacked per-item transforms (multi-coil
+    style batches; the reference can only loop per array)."""
+    import jax.numpy as jnp
+
+    shape = (16, 24)
+    N, level = 3, 2
+    x = rng.standard_normal((N,) + shape)
+    for path in ("direct", "fft"):
+        plan = nw.NDDWT(wavelet="db3", shape=shape, dtype="double", path=path)
+        yb = np.asarray(plan.dec_batched(x, level))
+        for i in range(N):
+            yi = np.asarray(plan.dec(x[i], level, band_axis=0))
+            np.testing.assert_allclose(yb[i], yi, atol=1e-12)
+        xr = np.asarray(plan.rec_batched(jnp.asarray(yb)))
+        np.testing.assert_allclose(xr, x, atol=1e-12)
+
+
+def test_batched_complex_and_errors(rng):
+    shape = (8, 16)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype="double", path="fft")
+    xc = rng.standard_normal((2,) + shape) + 1j * rng.standard_normal((2,) + shape)
+    y = plan.dec_batched(xc, 2)
+    xr = np.asarray(plan.rec_batched(y))
+    np.testing.assert_allclose(xr, xc, atol=1e-12)
+    with pytest.raises(ValueError, match="batch"):
+        plan.dec_batched(rng.standard_normal(shape), 2)  # missing batch dim

@@ -348,3 +348,18 @@ def test_bf16_kernels_roundtrip(shape, wv, level, rng):
     assert xr.dtype == jnp.bfloat16
     err = np.max(np.abs(np.asarray(xr, np.float32) - x32))
     assert err < 0.25  # bf16 storage: ~2-3 significant digits
+
+
+def test_batched_pallas_matches_per_item(rng):
+    """dec_batched/rec_batched through the Pallas path (lax.map over the
+    hand-DMA kernels, which have no vmap rule)."""
+    shape = (16, 128)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32,
+                    path="pallas")
+    xb = jnp.asarray(rng.standard_normal((3,) + shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yb = plan.dec_batched(xb, 2)
+        per = jnp.stack([plan.dec(xb[i], 2, band_axis=0) for i in range(3)])
+        np.testing.assert_allclose(np.asarray(yb), np.asarray(per), atol=1e-6)
+        xr = plan.rec_batched(yb)
+    assert np.max(np.abs(np.asarray(xr) - np.asarray(xb))) < 1e-4
