@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _round8, _up
+from .pallas_kernels import _compute_dtype, _round8, _up
 
 # Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
 # naive stage-sum; this bound maps to the 16MB limit — see
@@ -84,6 +84,11 @@ def _lane_tiles(X, Y, L, K=8):
     23.7MB scoped). Falls back to the loop-ified dynamic-shift form
     (``static=False``, ~10 live tiles) for long filters / huge L."""
     static_cap = _BUDGET / (3.5 * K + 10)
+    if K <= 8:
+        # The 64K-word K=8 point is calibrated known-good on v5e; the
+        # linear liveness model lands just under it (63.2K) — floor at the
+        # measured point so 8x8x1024 tiles stay on the fast static form.
+        static_cap = max(static_cap, 65536)
     for tx, ty in ((8, 8), (4, 8), (2, 8), (1, 8)):
         if X % tx == 0 and Y % ty == 0 and tx * ty * L <= static_cap:
             return (tx, ty, True)
@@ -365,7 +370,7 @@ def _lane_dec_call(x3, taps_np, T, tiles):
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
     # SMEM taps in the compute dtype (f32 for bf16 arrays — see _up).
-    tdt = jnp.float32 if x3.dtype == jnp.dtype(jnp.bfloat16) else x3.dtype
+    tdt = _compute_dtype(x3.dtype)
     taps_ops = [jnp.asarray(taps_np[2], tdt), jnp.asarray(taps_np[3], tdt)]
 
     def kernel(x_ref, tz_ref, tt_ref, out_ref):
@@ -409,8 +414,7 @@ def _lane_dec_call(x3, taps_np, T, tiles):
 
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
-                   shape_xy=None, padded=None, out_slots=2,
-                   approx_to_big=False):
+                   shape_xy=None, padded=None, approx_to_big=False):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
@@ -449,7 +453,9 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
 
         for cp in load(0, 0):
             cp.start()
-        inflight = [None] * out_slots
+        # 2 staging slots: probed 3/4 on v5e — the detail-write path is
+        # DMA-bandwidth-bound, deeper staging measured slightly slower.
+        inflight = [None, None]
         out_slot = 0
         for c in range(4):
             if c + 1 < 4:
@@ -500,7 +506,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                     )
                     cpy.start()
                     inflight[out_slot] = cpy
-                    out_slot = (out_slot + 1) % out_slots
+                    out_slot ^= 1
         for cpy in inflight:
             if cpy is not None:
                 cpy.wait()
@@ -532,9 +538,9 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
         input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM((2, ex0, ey, zct), temp5.dtype),
-            pltpu.VMEM((out_slots, tx, ty, zct), temp5.dtype),
+            pltpu.VMEM((2, tx, ty, zct), temp5.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((out_slots,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )(temp5, big5)
 
@@ -675,8 +681,7 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
     Z = L // T
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
-    tdt = (jnp.float32 if partial.dtype == jnp.dtype(jnp.bfloat16)
-           else partial.dtype)
+    tdt = _compute_dtype(partial.dtype)
     taps_ops = [
         jnp.asarray(taps_np[2], tdt),
         jnp.asarray(taps_np[3], tdt),

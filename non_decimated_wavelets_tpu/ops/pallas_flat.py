@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _up
+from .pallas_kernels import _compute_dtype, _up
 
 _ROWS = 8
 # ~8 live (8, P/8) arrays (approx, acc, rotate temps, stage, bufs) must fit
@@ -272,7 +272,7 @@ def _call(mode, arr, taps_np, level, preserve_l2, lam, shape):
     B = nb + (nb - 1) * (level - 1)
     scale = 1.0 if preserve_l2 else 1.0 / nb
     Ks = tuple(t.shape[1] for t in taps_np)
-    tdt = jnp.float32 if arr.dtype == jnp.dtype(jnp.bfloat16) else arr.dtype
+    tdt = _compute_dtype(arr.dtype)
     taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     def lift(a):

@@ -74,6 +74,15 @@ def _up(v):
     return v.astype(jnp.float32) if v.dtype == jnp.dtype(jnp.bfloat16) else v
 
 
+def _compute_dtype(dtype):
+    """Dtype for in-kernel tap operands / accumulators: f32 for bf16 arrays
+    (pairs with :func:`_up`), the array dtype otherwise."""
+    return (
+        jnp.float32 if jnp.dtype(dtype) == jnp.dtype(jnp.bfloat16)
+        else dtype
+    )
+
+
 def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
     """(lo, hi) correlation pair along ``axis`` of one in-VMEM array.
 
@@ -398,7 +407,11 @@ def _dec_dispatch(x, taps_np, level: int):
 
         if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
             return pallas_flat.dec_flat(x, taps_np, level)
-        return direct_path.dec_direct(x, taps_np, level)
+        # Cast taps to the array dtype: callers may pass full-precision
+        # (f64) taps for the kernels' f32 compute, and under x64 an f64
+        # constant would promote the whole XLA fallback to f64.
+        taps_x = tuple(t.astype(x.dtype) for t in taps_np)
+        return direct_path.dec_direct(x, taps_x, level)
     ndim = x.ndim
     nb = 2**ndim
     B = nb + (nb - 1) * (level - 1)
@@ -660,7 +673,8 @@ def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
 
         if pallas_flat.flat_supported(shape, y.dtype, taps_np):
             return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
-        return direct_path.rec_direct(y, taps_np, level, preserve_l2)
+        taps_y = tuple(t.astype(y.dtype) for t in taps_np)
+        return direct_path.rec_direct(y, taps_y, level, preserve_l2)
     nb = 2**ndim
     scale = 1.0 if preserve_l2 else 1.0 / nb
 

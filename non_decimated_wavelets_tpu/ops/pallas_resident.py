@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _up
+from .pallas_kernels import _compute_dtype, _up
 
 # VMEM working-set budget in f32 words: array x ~6 live copies (input,
 # accumulator, one roll, stage buffers) — sized to admit 512^2 f32.
@@ -143,7 +143,7 @@ def dec_resident(x, taps_np, level: int):
     lifted = _lifted_shape(shape)
     xl = x.reshape(lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    tdt = jnp.float32 if x.dtype == jnp.dtype(jnp.bfloat16) else x.dtype
+    tdt = _compute_dtype(x.dtype)
     taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     out = pl.pallas_call(
@@ -328,7 +328,7 @@ def pair_resident(x, taps_np, level: int, preserve_l2: bool, lam: float = 0.0):
     lifted = _lifted_shape(shape)
     xl = x.reshape(lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    tdt = jnp.float32 if x.dtype == jnp.dtype(jnp.bfloat16) else x.dtype
+    tdt = _compute_dtype(x.dtype)
     taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     y, xr = pl.pallas_call(
@@ -446,7 +446,7 @@ def rec_resident(y, taps_np, level: int, preserve_l2: bool):
     lifted = _lifted_shape(shape)
     yl = y.reshape((B,) + lifted)
     Ks = tuple(t.shape[1] for t in taps_np)
-    tdt = jnp.float32 if y.dtype == jnp.dtype(jnp.bfloat16) else y.dtype
+    tdt = _compute_dtype(y.dtype)
     taps_ops = [jnp.asarray(t, tdt) for t in taps_np]
 
     out = pl.pallas_call(

@@ -479,7 +479,7 @@ class ShardedNDDWT:
         level = int(level)
         if level not in self._dec_cache:
             if self.use_pallas:
-                taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
                 dec_body = (
                     _dec_body_pallas4 if self.plan.ndim == 4
                     else _dec_body_pallas
@@ -517,7 +517,7 @@ class ShardedNDDWT:
         level = int(level)
         if level not in self._rec_cache:
             if self.use_pallas:
-                taps_np = tuple(np.asarray(t) for t in self.plan.taps)
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
                 rec_body = (
                     _rec_body_pallas4 if self.plan.ndim == 4
                     else _rec_body_pallas

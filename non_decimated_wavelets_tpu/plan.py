@@ -94,6 +94,7 @@ class NDDWT:
     complex_dtype: object = dataclasses.field(init=False)
     resp: tuple = dataclasses.field(init=False, repr=False)
     taps: tuple = dataclasses.field(init=False, repr=False)
+    taps_hp: tuple = dataclasses.field(init=False, repr=False)
     filter_lengths: tuple = dataclasses.field(init=False)
 
     def __post_init__(self):
@@ -122,15 +123,24 @@ class NDDWT:
         # Stored as host NumPy arrays: they are tiny, hashable into jit
         # traces as constants, and avoid device->host round trips when a
         # transform is traced inside an outer jit.
-        resp, taps, flens = [], [], []
+        resp, taps, taps_hp, flens = [], [], [], []
         for w, n in zip(wavelets, shape):
             F = _filters.frequency_response(w, n)  # validates K <= n
             lo, hi = _filters.correlation_taps(w)
             flens.append(len(lo))
             resp.append(np.asarray(scale * F, dtype=cdt))
+            # ``taps`` in the storage dtype drive the XLA paths (keeps the
+            # output dtype stable under JAX promotion); ``taps_hp`` keeps
+            # full precision for the Pallas kernels, whose in-kernel
+            # compute is f32 even for bf16 arrays (ops.pallas_kernels._up)
+            # — without it a bf16 plan would correlate with ~3-digit
+            # quantized taps and break the frame property at that level.
             taps.append(np.asarray(scale * np.stack([lo, hi]), dtype=rdt))
+            taps_hp.append(np.asarray(scale * np.stack([lo, hi]),
+                                      dtype=np.float64))
         object.__setattr__(self, "resp", tuple(resp))
         object.__setattr__(self, "taps", tuple(taps))
+        object.__setattr__(self, "taps_hp", tuple(taps_hp))
         object.__setattr__(self, "filter_lengths", tuple(flens))
 
     # ------------------------------------------------------------------ paths
@@ -229,7 +239,7 @@ class NDDWT:
             elif path == "pallas":
                 from .ops import pallas_kernels
 
-                y = pallas_kernels.dec_pallas(x, self.taps, level)
+                y = pallas_kernels.dec_pallas(x, self.taps_hp, level)
             else:
                 y = direct_path.dec_direct(x, self.taps, level)
         if band_axis in (-1, y.ndim - 1):
@@ -268,7 +278,7 @@ class NDDWT:
             elif path == "pallas":
                 from .ops import pallas_kernels
 
-                x = pallas_kernels.rec_pallas(y, self.taps, level, self.preserve_l2)
+                x = pallas_kernels.rec_pallas(y, self.taps_hp, level, self.preserve_l2)
             else:
                 x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
         return x
@@ -302,7 +312,7 @@ class NDDWT:
         if path == "pallas" and not is_complex:
             from .ops import pallas_flat, pallas_resident
 
-            taps_np = tuple(np.asarray(t) for t in self.taps)
+            taps_np = tuple(np.asarray(t) for t in self.taps_hp)
             if self.ndim == 1 and pallas_flat.flat_supported(
                 self.shape, self.real_dtype, taps_np
             ):
@@ -358,9 +368,9 @@ class NDDWT:
         if level < 1:
             raise ValueError(f"level must be >= 1, got {level}")
         x = jnp.asarray(x)
-        if x.ndim != self.ndim + 1 or x.shape[1:] != self.shape:
+        if x.ndim != self.ndim + 1 or x.shape[1:] != self.shape or x.shape[0] < 1:
             raise ValueError(
-                f"expected (N, *{self.shape}) batch, got {x.shape}"
+                f"expected (N, *{self.shape}) batch with N >= 1, got {x.shape}"
             )
         is_complex = jnp.iscomplexobj(x)
         x = x.astype(self.complex_dtype if is_complex else self.real_dtype)
@@ -369,7 +379,7 @@ class NDDWT:
             if path == "pallas":
                 from .ops import pallas_kernels
 
-                f = lambda v: pallas_kernels.dec_pallas(v, self.taps, level)
+                f = lambda v: pallas_kernels.dec_pallas(v, self.taps_hp, level)
                 if x.shape[0] <= 16:
                     # Unrolled: no loop-carry overhead, and works in the
                     # interpret-mode CI (whose io-callback effect cannot
@@ -389,10 +399,10 @@ class NDDWT:
     def rec_batched(self, y):
         """Synthesis of a batch: ``(N, B, *shape) -> (N, *shape)``."""
         y = jnp.asarray(y)
-        if y.ndim != self.ndim + 2 or y.shape[2:] != self.shape:
+        if y.ndim != self.ndim + 2 or y.shape[2:] != self.shape or y.shape[0] < 1:
             raise ValueError(
-                f"expected (N, B, *{self.shape}) batch of band arrays, got "
-                f"{y.shape}"
+                f"expected (N, B, *{self.shape}) batch of band arrays with "
+                f"N >= 1, got {y.shape}"
             )
         level = _oracle.level_from_bands(self.ndim, y.shape[1])
         is_complex = jnp.iscomplexobj(y)
@@ -403,7 +413,7 @@ class NDDWT:
                 from .ops import pallas_kernels
 
                 f = lambda v: pallas_kernels.rec_pallas(
-                    v, self.taps, level, self.preserve_l2
+                    v, self.taps_hp, level, self.preserve_l2
                 )
                 if y.shape[0] <= 16:
                     return jnp.stack([f(y[i]) for i in range(y.shape[0])])
@@ -443,7 +453,7 @@ class NDDWT:
             if path == "pallas":
                 from .ops import pallas_kernels
 
-                f = lambda v: pallas_kernels.dec_pallas(v, self.taps, level)
+                f = lambda v: pallas_kernels.dec_pallas(v, self.taps_hp, level)
                 return jnp.stack([f(x_pair[0]), f(x_pair[1])])
             # direct path handles a leading batch dim natively
             y = direct_path.dec_direct(x_pair, self.taps, level)
@@ -464,7 +474,7 @@ class NDDWT:
                 from .ops import pallas_kernels
 
                 f = lambda v: pallas_kernels.rec_pallas(
-                    v, self.taps, level, self.preserve_l2
+                    v, self.taps_hp, level, self.preserve_l2
                 )
                 return jnp.stack([f(y_pair[0]), f(y_pair[1])])
             y = jnp.swapaxes(y_pair, 0, 1)  # (B, 2, *shape)

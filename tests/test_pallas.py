@@ -363,3 +363,34 @@ def test_batched_pallas_matches_per_item(rng):
         np.testing.assert_allclose(np.asarray(yb), np.asarray(per), atol=1e-6)
         xr = plan.rec_batched(yb)
     assert np.max(np.abs(np.asarray(xr) - np.asarray(xb))) < 1e-4
+
+
+def test_4d_dynamic_lane_form_matches_direct(rng):
+    """The while_loop (dynamic-rotate) lane form — selected on hardware when
+    unrolled liveness would blow scoped VMEM — must stay correct even though
+    every CASES_4D shape now picks the static form."""
+    shape, wv, level = (8, 8, 4, 32), "db2", 2
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+    X, Y, Z, T = shape
+    L = Z * T
+    tx, ty, static = pallas_4d._lane_tiles(X, Y, L, 4)
+    assert static  # this shape would normally go static
+    dyn_tiles = (tx, ty, False)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        # analysis lane stage
+        t_dyn = pallas_4d._lane_dec_call(x.reshape(X, Y, L), taps_np, T,
+                                         dyn_tiles)
+        t_sta = pallas_4d._lane_dec_call(x.reshape(X, Y, L), taps_np, T,
+                                         (tx, ty, True))
+        np.testing.assert_allclose(
+            np.asarray(t_dyn), np.asarray(t_sta), atol=1e-5
+        )
+        # adjoint lane stage
+        p = jnp.asarray(rng.standard_normal((4, X, Y, L)), jnp.float32)
+        a_dyn = pallas_4d._lane_adj_call(p, taps_np, T, dyn_tiles, 1 / 16)
+        a_sta = pallas_4d._lane_adj_call(p, taps_np, T, (tx, ty, True), 1 / 16)
+        np.testing.assert_allclose(
+            np.asarray(a_dyn), np.asarray(a_sta), atol=1e-5
+        )
