@@ -131,17 +131,50 @@ def _dec_halos(ndim, taps_np_tuple):
     return halos
 
 
+class _CondCopy:
+    """An async copy whose start/wait both run under ``pl.when(cond)`` —
+    used for the slab-axis halo segments, where the SOURCE of a segment
+    depends on the (traced) grid index: shard-boundary tiles read the
+    ppermuted slab, interior tiles read local rows. Exactly one of the two
+    variants sharing a (dst, sem) fires on any path, so the semaphore
+    pairing stays balanced."""
+
+    def __init__(self, cond, copy):
+        self._cond = cond
+        self._copy = copy
+
+    def start(self):
+        pl.when(self._cond)(self._copy.start)
+
+    def wait(self):
+        pl.when(self._cond)(self._copy.wait)
+
+
 def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
-                    band_idx=None, slot=None, padded=None):
+                    band_idx=None, slot=None, padded=None, halo_ax=None,
+                    halo_ref=None):
     """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec).
 
     ``padded[ax]`` marks axes whose source array is already halo-padded by
-    ``w_l``/``w_r`` (the 'valid' mode used inside ``shard_map``, where
-    ppermute supplies the periodic halo from ring neighbors): the three
-    wrap segments collapse to one contiguous copy at offset ``i*t`` and no
-    modular arithmetic — tile ``i`` of the unpadded extent sits at padded
-    rows ``[i*t, i*t + w_l + t + w_r)``.
+    ``w_l``/``w_r`` (the concat 'valid' mode used inside ``shard_map``,
+    where ppermute supplies the periodic halo from ring neighbors): the
+    three wrap segments collapse to one contiguous copy at offset ``i*t``
+    and no modular arithmetic — tile ``i`` of the unpadded extent sits at
+    padded rows ``[i*t, i*t + w_l + t + w_r)``.
+
+    ``halo_ax``/``halo_ref``: the slab 'valid' mode — the main array stays
+    UNPADDED (no full-size XLA concat copy per level) and axis ``halo_ax``'s
+    halo comes from ``halo_ref``, a small ``(.., w_l + w_r, ..)`` slab
+    holding [left-neighbor tail | right-neighbor head] (two ppermutes + one
+    slab-sized concat). Only the first tile's L segment and the last tile's
+    R segment read the slab; interior tiles read local rows — selected per
+    grid step with :class:`_CondCopy` pairs. Requires ``w <= tile`` (the
+    caller gates; deeper halos would span two tiles) and a single slab
+    axis (two sharded leading axes would need corner exchange — concat
+    mode handles those).
     """
+    # per axis: list of (src_start, dst_off, extent, variant) with variant
+    # None (main array) / ("slab", cond) / ("local", cond).
     per_axis = []
     for ax in range(len(tiles)):
         N = shape_sp[ax]
@@ -149,9 +182,31 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         w_l, w_r, aligned = halos[ax]
         i = grid_ids[ax]
         base = i * np.int32(t)
+        if ax == halo_ax:
+            n_tiles = N // t
+            sC = pl.multiple_of(base, 8) if aligned else base
+            first = i == np.int32(0)
+            last = i == np.int32(n_tiles - 1)
+            segs = []
+            if w_l > 0:
+                sL_loc = base - np.int32(w_l)
+                if aligned:
+                    sL_loc = pl.multiple_of(sL_loc, 8)
+                segs.append((np.int32(0), 0, w_l, ("slab", first)))
+                segs.append((sL_loc, 0, w_l, ("local", jnp.logical_not(first))))
+            segs.append((sC, w_l, t, None))
+            if w_r > 0:
+                sR_loc = base + np.int32(t)
+                if aligned:
+                    sR_loc = pl.multiple_of(sR_loc, 8)
+                segs.append((np.int32(w_l), w_l + t, w_r, ("slab", last)))
+                segs.append((sR_loc, w_l + t, w_r,
+                             ("local", jnp.logical_not(last))))
+            per_axis.append(segs)
+            continue
         if padded is not None and padded[ax]:
             s0 = pl.multiple_of(base, 8) if aligned else base
-            per_axis.append([(s0, 0, w_l + t + w_r)])
+            per_axis.append([(s0, 0, w_l + t + w_r, None)])
             continue
         sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
         sC = base
@@ -160,27 +215,33 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
             sL = pl.multiple_of(sL, 8)
             sC = pl.multiple_of(sC, 8)
             sR = pl.multiple_of(sR, 8)
-        segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
+        segs = [(sL, 0, w_l, None), (sC, w_l, t, None),
+                (sR, w_l + t, w_r, None)]
         per_axis.append([s for s in segs if s[2] > 0])
     combos = [[]]
     for segs in per_axis:
         combos = [c + [s] for c in combos for s in segs]
     copies = []
     for combo in combos:
-        spatial_src = tuple(pl.ds(s, e) for s, _, e in combo) + (slice(None),)
+        variants = [s[3] for s in combo if s[3] is not None]
+        ref = src_ref
+        cond = None
+        if variants:
+            kind, cond = variants[0]  # single slab axis => at most one
+            ref = halo_ref if kind == "slab" else src_ref
+        spatial_src = tuple(pl.ds(s, e) for s, _, e, _ in combo) + (slice(None),)
         src = spatial_src if band_idx is None else (np.int32(band_idx),) + spatial_src
-        dst_sp = tuple(slice(off, off + e) for _, off, e in combo) + (
+        dst_sp = tuple(slice(off, off + e) for _, off, e, _ in combo) + (
             slice(None),
         )
         dst = dst_sp if slot is None else (np.int32(slot),) + dst_sp
-        copies.append(
-            pltpu.make_async_copy(src_ref.at[src], bufs_ref.at[dst], sem)
-        )
+        cp = pltpu.make_async_copy(ref.at[src], bufs_ref.at[dst], sem)
+        copies.append(cp if cond is None else _CondCopy(cond, cp))
     return copies
 
 
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
-                     padded=None, approx_to_big=False):
+                     padded=None, approx_to_big=False, halo_ax=None):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -195,7 +256,12 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
 
-    def kernel(x_hbm, big_in, big_ref, *rest):
+    def kernel(x_hbm, *rest):
+        if halo_ax is not None:
+            xh_hbm, rest = rest[0], rest[1:]
+        else:
+            xh_hbm = None
+        big_in, big_ref, rest = rest[0], rest[1], rest[2:]
         if approx_to_big:
             app_ref = None
             buf, stage, sem, sem_out = rest
@@ -204,7 +270,8 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
-            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded
+            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded,
+            halo_ax=halo_ax, halo_ref=xh_hbm,
         )
         for c in copies:
             c.start()
@@ -299,15 +366,18 @@ def _dec_tiles(shape, taps_np):
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
-                     approx_to_big=False):
+                     approx_to_big=False, halo_ax=None, halo=None):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
     level: the approximation is DMA'd into band 0 in-kernel).
 
-    ``shape``/``padded``: 'valid' mode — ``x`` is already halo-padded on
-    the ``padded`` leading axes (by the ``_dec_halos`` widths) and
-    ``shape`` is the unpadded output shape."""
+    ``shape``/``padded``: concat 'valid' mode — ``x`` is already
+    halo-padded on the ``padded`` leading axes (by the ``_dec_halos``
+    widths) and ``shape`` is the unpadded output shape.
+    ``halo_ax``/``halo``: slab 'valid' mode — ``x`` stays unpadded and
+    axis ``halo_ax``'s periodic neighbors ride in the small ``halo``
+    operand (see ``_seg_copies_one``)."""
     if shape is None:
         shape = x.shape
     ndim = len(shape)
@@ -340,24 +410,22 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
             jax.ShapeDtypeStruct((B,) + shape, x.dtype),
             jax.ShapeDtypeStruct(shape, x.dtype),
         )
+    operands = (x,) if halo_ax is None else (x, halo)
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
-                         approx_to_big),
+                         approx_to_big, halo_ax),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={1: 0},
+        input_output_aliases={len(operands): 0},
         scratch_shapes=[
             pltpu.VMEM(buf_tile, x.dtype),
             pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(x, big)
+    )(*operands, big)
 
 
 def dec_pallas(x, taps, level: int):
@@ -478,7 +546,7 @@ def _rec_halos(ndim, taps_np_tuple):
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
-                     padded=None):
+                     padded=None, halo_ax=None):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -502,21 +570,26 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
     halos = _rec_halos(ndim, taps_np_tuple)
 
     def kernel(*args):
+        args = list(args)
+        y_hbm = args.pop(0)
+        yh_hbm = args.pop(0) if halo_ax is not None else None
         if has_approx:
-            y_hbm, a_hbm, out_ref, bufs, sems = args
+            a_hbm = args.pop(0)
+            ah_hbm = args.pop(0) if halo_ax is not None else None
         else:
-            y_hbm, out_ref, bufs, sems = args
-            a_hbm = None
+            a_hbm = ah_hbm = None
+        out_ref, bufs, sems = args
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
         def seg_copies(b, slot):
             kind, idx = band_src[b]
             src_ref = a_hbm if kind == "a" else y_hbm
+            h_ref = ah_hbm if kind == "a" else yh_hbm
             return _seg_copies_one(
                 src_ref, bufs, sems.at[np.int32(slot)], shape_sp, tiles,
                 halos, grid_ids,
                 band_idx=None if kind == "a" else idx,
-                slot=slot, padded=padded,
+                slot=slot, padded=padded, halo_ax=halo_ax, halo_ref=h_ref,
             )
 
         for pre in range(min(NSLOT - 1, nb)):
@@ -572,10 +645,13 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
 
 
 def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
-                     padded=None):
-    """'valid' mode (``shape``/``padded``): band arrays already halo-padded
-    on the ``padded`` leading axes by the ``_rec_halos`` widths; ``shape``
-    is the unpadded output shape."""
+                     padded=None, halo_ax=None, y_halo=None, a_halo=None):
+    """Concat 'valid' mode (``shape``/``padded``): band arrays already
+    halo-padded on the ``padded`` leading axes by the ``_rec_halos``
+    widths; ``shape`` is the unpadded output shape. Slab 'valid' mode
+    (``halo_ax``/``y_halo``/``a_halo``): sources stay unpadded and axis
+    ``halo_ax``'s neighbors ride in small slab operands
+    (see ``_seg_copies_one``)."""
     if shape is None:
         shape = y_all.shape[1:]
     ndim = len(shape)
@@ -591,9 +667,15 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     ]
     buf_tile = (3,) + tuple(buf_rows) + (shape[-1],)
 
-    operands = (y_all,) if approx is None else (y_all, approx)
+    if halo_ax is None:
+        operands = (y_all,) if approx is None else (y_all, approx)
+    elif approx is None:
+        operands = (y_all, y_halo)
+    else:
+        operands = (y_all, y_halo, approx, a_halo)
     return pl.pallas_call(
-        _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale, padded),
+        _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale,
+                         padded, halo_ax),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(

@@ -217,6 +217,39 @@ def _pad_sharded_axes(arr, axis_names, halos, ndim, lead_off):
     return arr
 
 
+def _halo_slab(arr, axis, axis_name, w_l, w_r):
+    """Small ``(w_l + w_r)``-row slab [left-neighbor tail | right-neighbor
+    head] along ``axis`` — the minimal periodic exchange for one sharded
+    axis. Feeds the kernels' slab 'valid' mode, which reads L/R halo
+    segments from this operand instead of a full-size concat-padded copy
+    of the array (the pad copy was ~1/3 of the sharded pair's runtime)."""
+    size = jax.lax.axis_size(axis_name)
+    n = arr.shape[axis]
+    tail = jax.lax.slice_in_dim(arr, n - w_l, n, axis=axis)
+    head = jax.lax.slice_in_dim(arr, 0, w_r, axis=axis)
+    if size > 1:
+        fwd, bwd = _ring_perms(size)
+        tail = jax.lax.ppermute(tail, axis_name, fwd)
+        head = jax.lax.ppermute(head, axis_name, bwd)
+    return jnp.concatenate([tail, head], axis=axis)
+
+
+def _single_sharded_axis(axis_names, n_lead, halos, tiles):
+    """The only sharded leading-axis index if the slab 'valid' mode can
+    serve it, else None (fall back to concat-pad). Slab mode needs exactly
+    one sharded leading axis (two would need corner exchange) and halo
+    widths within one tile (the L/R source split is binary:
+    shard-boundary tile -> slab, interior tile -> local rows)."""
+    sharded = [ax for ax in range(n_lead) if axis_names[ax] is not None]
+    if len(sharded) != 1 or tiles is None:
+        return None
+    ax = sharded[0]
+    w_l, w_r, _ = halos[ax]
+    if w_l > tiles[ax] or w_r > tiles[ax]:
+        return None
+    return ax
+
+
 def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
     from ..ops import pallas_kernels as pk
 
@@ -225,17 +258,28 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
     B = nb + (nb - 1) * (level - 1)
     halos = pk._dec_halos(ndim, taps_np)
     padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
+    slab_ax = _single_sharded_axis(
+        axis_names, ndim - 1, halos, pk._dec_tiles(tuple(local_shape), taps_np)
+    )
     big = jnp.empty((B,) + tuple(local_shape), x.dtype)
     approx = x
     off = B
     for lvl in range(level):
         off -= nb - 1
         final = lvl == level - 1
-        xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
-        out = pk._fused_dec_level(
-            xp, big, off, taps_np, shape=tuple(local_shape), padded=padded,
-            approx_to_big=final,
-        )
+        if slab_ax is not None:
+            w_l, w_r, _ = halos[slab_ax]
+            slab = _halo_slab(approx, slab_ax, axis_names[slab_ax], w_l, w_r)
+            out = pk._fused_dec_level(
+                approx, big, off, taps_np, shape=tuple(local_shape),
+                approx_to_big=final, halo_ax=slab_ax, halo=slab,
+            )
+        else:
+            xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
+            out = pk._fused_dec_level(
+                xp, big, off, taps_np, shape=tuple(local_shape),
+                padded=padded, approx_to_big=final,
+            )
         if final:
             return out
         big, approx = out
@@ -248,10 +292,32 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
     nb = 2**ndim
     halos = pk._rec_halos(ndim, taps_np)
     padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
+    slab_ax = _single_sharded_axis(
+        axis_names, ndim - 1, halos, pk._rec_tiles(tuple(local_shape), taps_np)
+    )
     scale = 1.0 if preserve_l2 else 1.0 / nb
+    band_src = [("y", b) for b in range(nb)]
+
+    if slab_ax is not None:
+        w_l, w_r, _ = halos[slab_ax]
+        name = axis_names[slab_ax]
+        y_slab = _halo_slab(y, slab_ax + 1, name, w_l, w_r)
+        acc = pk._fused_rec_level(
+            y, None, band_src, taps_np, scale, shape=tuple(local_shape),
+            halo_ax=slab_ax, y_halo=y_slab,
+        )
+        pos = nb
+        for _ in range(1, level):
+            a_slab = _halo_slab(acc, slab_ax, name, w_l, w_r)
+            band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+            acc = pk._fused_rec_level(
+                y, acc, band_src, taps_np, scale, shape=tuple(local_shape),
+                halo_ax=slab_ax, y_halo=y_slab, a_halo=a_slab,
+            )
+            pos += nb - 1
+        return acc
 
     yp = _pad_sharded_axes(y, axis_names, halos, ndim, 1)
-    band_src = [("y", b) for b in range(nb)]
     acc = pk._fused_rec_level(
         yp, None, band_src, taps_np, scale,
         shape=tuple(local_shape), padded=padded,

@@ -158,6 +158,12 @@ from jax.experimental.pallas import tpu as pltpu
         ((64, 256), "db4", ("x", None), {"x": 4}, 2),
         ((32, 32, 128), ("db2", "db3", "db4"), ("x", "y", None), {"x": 2, "y": 2}, 2),
         ((16, 16, 128), "db1", ("x", None, None), {"x": 2}, 3),
+        # slab 'valid' mode on the sublane (8-aligned) axis
+        ((16, 32, 128), "db4", (None, "y", None), {"y": 2}, 2),
+        # slab 'valid' mode with MULTIPLE tiles per shard along the slab
+        # axis (interior tiles take local halo rows, only shard-boundary
+        # tiles read the ppermuted slab)
+        ((64, 32, 128), "db4", ("x", None, None), {"x": 2}, 2),
     ],
 )
 @pytest.mark.parametrize("pl2", [False, True])
