@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _compute_dtype, _round8, _up
+from .pallas_kernels import _CondCopy, _compute_dtype, _round8, _up
 
 # Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
 # naive stage-sum; this bound maps to the 16MB limit — see
@@ -303,24 +303,54 @@ def _lead_halos(K0, K1, adjoint: bool):
 
 
 def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
-                 padded=None):
+                 padded=None, halo_ax=None, halo_ref=None):
     """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
     (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
     (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT).
 
     ``padded[ax]`` marks axes whose source is already halo-padded (the
-    'valid' mode used inside ``shard_map`` — ppermute supplies the periodic
-    halo): the three wrap segments collapse to one contiguous copy at
-    offset ``i*t``."""
-    per_axis = []
+    concat 'valid' mode used inside ``shard_map`` — ppermute supplies the
+    periodic halo): the three wrap segments collapse to one contiguous copy
+    at offset ``i*t``.
+
+    ``halo_ax``/``halo_ref``: the slab 'valid' mode (see
+    ``pallas_kernels._seg_copies_one``) — the main array stays unpadded;
+    the shard-boundary tiles' L/R segments read the small ppermuted slab,
+    interior tiles read local rows, selected with ``_CondCopy`` pairs.
+    Requires halo widths within one tile (caller gates)."""
+    per_axis = []  # (src_start, dst_off, extent, variant-or-None)
     for ax in range(2):
         N = XY[ax]
         t = tiles[ax]
         w_l, w_r = halos[ax]
-        base = (i, j)[ax] * np.int32(t)
+        gi = (i, j)[ax]
+        base = gi * np.int32(t)
+        if ax == halo_ax:
+            n_tiles = N // t
+            sC = pl.multiple_of(base, 8) if ax == 1 else base
+            first = gi == np.int32(0)
+            last = gi == np.int32(n_tiles - 1)
+            segs = []
+            if w_l > 0:
+                sL_loc = base - np.int32(w_l)
+                if ax == 1:
+                    sL_loc = pl.multiple_of(sL_loc, 8)
+                segs.append((np.int32(0), 0, w_l, ("slab", first)))
+                segs.append((sL_loc, 0, w_l,
+                             ("local", jnp.logical_not(first))))
+            segs.append((sC, w_l, t, None))
+            if w_r > 0:
+                sR_loc = base + np.int32(t)
+                if ax == 1:
+                    sR_loc = pl.multiple_of(sR_loc, 8)
+                segs.append((np.int32(w_l), w_l + t, w_r, ("slab", last)))
+                segs.append((sR_loc, w_l + t, w_r,
+                             ("local", jnp.logical_not(last))))
+            per_axis.append(segs)
+            continue
         if padded is not None and padded[ax]:
             s0 = pl.multiple_of(base, 8) if ax == 1 else base
-            per_axis.append([(s0, 0, w_l + t + w_r)])
+            per_axis.append([(s0, 0, w_l + t + w_r, None)])
             continue
         sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
         sC = base
@@ -330,11 +360,18 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
             sL = pl.multiple_of(sL, 8)
             sC = pl.multiple_of(sC, 8)
             sR = pl.multiple_of(sR, 8)
-        segs = [(sL, 0, w_l), (sC, w_l, t), (sR, w_l + t, w_r)]
+        segs = [(sL, 0, w_l, None), (sC, w_l, t, None),
+                (sR, w_l + t, w_r, None)]
         per_axis.append([s for s in segs if s[2] > 0])
     copies = []
     for cx in per_axis[0]:
         for cy in per_axis[1]:
+            variants = [s[3] for s in (cx, cy) if s[3] is not None]
+            ref = src_ref
+            cond = None
+            if variants:
+                kind, cond = variants[0]  # single slab axis
+                ref = halo_ref if kind == "slab" else src_ref
             src = (
                 np.int32(band),
                 pl.ds(cx[0], cx[2]),
@@ -348,9 +385,8 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
                 slice(cy[1], cy[1] + cy[2]),
                 slice(None),
             )
-            copies.append(
-                pltpu.make_async_copy(src_ref.at[src], buf_ref.at[dst], sem)
-            )
+            cp = pltpu.make_async_copy(ref.at[src], buf_ref.at[dst], sem)
+            copies.append(cp if cond is None else _CondCopy(cond, cp))
     return copies
 
 
@@ -414,7 +450,8 @@ def _lane_dec_call(x3, taps_np, T, tiles):
 
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
-                   shape_xy=None, padded=None, approx_to_big=False):
+                   shape_xy=None, padded=None, approx_to_big=False,
+                   halo_ax=None, halo=None):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
@@ -436,7 +473,12 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
     ey = ty + 2 * halos[1][0]
     start1 = halos[1][0] - (K1 // 2 - 1)
 
-    def kernel(temp_hbm, big_in, big_ref, *rest):
+    def kernel(temp_hbm, *rest):
+        if halo_ax is not None:
+            th_hbm, rest = rest[0], rest[1:]
+        else:
+            th_hbm = None
+        big_in, big_ref, rest = rest[0], rest[1], rest[2:]
         if approx_to_big:
             app_ref = None
             buf, stage, sem_in, sem_out = rest
@@ -448,7 +490,8 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
         def load(c, slot):
             return _halo_copies(
                 temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
-                (tx, ty), halos, i, j, k, slot, padded
+                (tx, ty), halos, i, j, k, slot, padded,
+                halo_ax=halo_ax, halo_ref=th_hbm,
             )
 
         for cp in load(0, 0):
@@ -526,23 +569,21 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
             jax.ShapeDtypeStruct(big5.shape, temp5.dtype),
             jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
         )
+    operands = (temp5,) if halo_ax is None else (temp5, halo)
     return pl.pallas_call(
         kernel,
         grid=(X // tx, Y // ty, Zcnt),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
         out_shape=out_shape,
-        input_output_aliases={1: 0},
+        input_output_aliases={len(operands): 0},
         scratch_shapes=[
             pltpu.VMEM((2, ex0, ey, zct), temp5.dtype),
             pltpu.VMEM((2, tx, ty, zct), temp5.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-    )(temp5, big5)
+    )(*operands, big5)
 
 
 def dec4(x, taps_np, level: int):
@@ -584,7 +625,8 @@ def dec4(x, taps_np, level: int):
 
 
 def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
-                   shape_xy=None, padded=None):
+                   shape_xy=None, padded=None, halo_ax=None, y_halo=None,
+                   a_halo=None):
     """Adjoint leading stage -> partial (4, X, Y, L) with
     ``partial[c] = sum_a adj(band[4c+a])``.
 
@@ -608,19 +650,25 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
     has_approx = any(kind == "a" for kind, _ in band_src)
 
     def kernel(*args):
+        args = list(args)
+        y_hbm = args.pop(0)
+        yh_hbm = args.pop(0) if halo_ax is not None else None
         if has_approx:
-            y_hbm, a_hbm, out_ref, buf, sem_in = args
+            a_hbm = args.pop(0)
+            ah_hbm = args.pop(0) if halo_ax is not None else None
         else:
-            y_hbm, out_ref, buf, sem_in = args
-            a_hbm = None
+            a_hbm = ah_hbm = None
+        out_ref, buf, sem_in = args
         i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
         def load(b, slot):
             kind, idx = band_src[b]
             src = y_hbm if kind == "y" else a_hbm
+            h_ref = yh_hbm if kind == "y" else ah_hbm
             return _halo_copies(
                 src, buf, sem_in.at[np.int32(slot)], idx, (X, Y),
-                (tx, ty), halos, i, j, k, slot, padded
+                (tx, ty), halos, i, j, k, slot, padded,
+                halo_ax=halo_ax, halo_ref=h_ref,
             )
 
         for cp in load(0, 0):
@@ -651,7 +699,12 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                 acc = y0 if acc is None else acc + y0
             out_ref[np.int32(c)] = acc.astype(out_ref.dtype)
 
-    operands = (y5,) if approx is None else (y5, approx)
+    if halo_ax is None:
+        operands = (y5,) if approx is None else (y5, approx)
+    elif approx is None:
+        operands = (y5, y_halo)
+    else:
+        operands = (y5, y_halo, approx, a_halo)
     # X-axis adjoint halos are exact (h_l = K0//2): slice start 0 in the
     # buffered tile already sits at the anchor (start0 = h_l - K0//2 = 0).
     return pl.pallas_call(

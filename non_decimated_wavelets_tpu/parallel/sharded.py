@@ -244,7 +244,7 @@ def _single_sharded_axis(axis_names, n_lead, halos, tiles):
     if len(sharded) != 1 or tiles is None:
         return None
     ax = sharded[0]
-    w_l, w_r, _ = halos[ax]
+    w_l, w_r = halos[ax][0], halos[ax][1]  # 3D (w,w,aligned) / 4D (w,w)
     if w_l > tiles[ax] or w_r > tiles[ax]:
         return None
     return ax
@@ -352,6 +352,7 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
     nb = 16
     B = nb + (nb - 1) * (level - 1)
 
+    slab_ax = _single_sharded_axis(axis_names[:2], 2, halos, lead_t)
     big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
     approx = x.reshape(X, Y, L)
     off = B
@@ -361,14 +362,26 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
         temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
             4, X, Y, Zcnt, zct
         )
-        if padded[0]:
-            temp5 = _halo_pad(temp5, 1, axis_names[0], halos[0][0], halos[0][1])
-        if padded[1]:
-            temp5 = _halo_pad(temp5, 2, axis_names[1], halos[1][0], halos[1][1])
-        out = p4._lead_dec_call(
-            temp5, big5, off, taps_np, lead_t, zct,
-            shape_xy=(X, Y), padded=padded, approx_to_big=final,
-        )
+        if slab_ax is not None:
+            w_l, w_r = halos[slab_ax]
+            slab = _halo_slab(temp5, 1 + slab_ax, axis_names[slab_ax],
+                              w_l, w_r)
+            out = p4._lead_dec_call(
+                temp5, big5, off, taps_np, lead_t, zct,
+                shape_xy=(X, Y), approx_to_big=final,
+                halo_ax=slab_ax, halo=slab,
+            )
+        else:
+            if padded[0]:
+                temp5 = _halo_pad(temp5, 1, axis_names[0],
+                                  halos[0][0], halos[0][1])
+            if padded[1]:
+                temp5 = _halo_pad(temp5, 2, axis_names[1],
+                                  halos[1][0], halos[1][1])
+            out = p4._lead_dec_call(
+                temp5, big5, off, taps_np, lead_t, zct,
+                shape_xy=(X, Y), padded=padded, approx_to_big=final,
+            )
         if final:
             big5 = out
         else:
@@ -394,6 +407,8 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
     B = y.shape[0]
     scale = 1.0 if preserve_l2 else 1.0 / nb
 
+    slab_ax = _single_sharded_axis(axis_names[:2], 2, halos, lead_t)
+
     def pad_xy(arr5):
         if padded[0]:
             arr5 = _halo_pad(arr5, 1, axis_names[0], halos[0][0], halos[0][1])
@@ -401,8 +416,36 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
             arr5 = _halo_pad(arr5, 2, axis_names[1], halos[1][0], halos[1][1])
         return arr5
 
-    y5 = pad_xy(y.reshape(B, X, Y, Zcnt, zct))
     band_src = [("y", b) for b in range(nb)]
+    if slab_ax is not None:
+        w_l, w_r = halos[slab_ax]
+        name = axis_names[slab_ax]
+        y5 = y.reshape(B, X, Y, Zcnt, zct)
+        y_slab = _halo_slab(y5, 1 + slab_ax, name, w_l, w_r)
+        partial = p4._lead_adj_call(
+            y5, None, band_src, taps_np, lead_t, zct,
+            shape_xy=(X, Y), halo_ax=slab_ax, y_halo=y_slab,
+        )
+        acc = p4._lane_adj_call(
+            partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+        )
+        pos = nb
+        for _ in range(1, level):
+            band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
+            acc5 = acc.reshape(1, X, Y, Zcnt, zct)
+            a_slab = _halo_slab(acc5, 1 + slab_ax, name, w_l, w_r)
+            partial = p4._lead_adj_call(
+                y5, acc5, band_src, taps_np, lead_t, zct,
+                shape_xy=(X, Y), halo_ax=slab_ax, y_halo=y_slab,
+                a_halo=a_slab,
+            )
+            acc = p4._lane_adj_call(
+                partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+            )
+            pos += nb - 1
+        return acc.reshape(tuple(local_shape))
+
+    y5 = pad_xy(y.reshape(B, X, Y, Zcnt, zct))
     partial = p4._lead_adj_call(
         y5, None, band_src, taps_np, lead_t, zct,
         shape_xy=(X, Y), padded=padded,

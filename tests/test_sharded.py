@@ -198,6 +198,8 @@ def test_sharded_pallas_infeasible_raises():
     [
         ((16, 16, 8, 16), "db2", ("x", "y", None, None), {"x": 2, "y": 2}, 2),
         ((32, 16, 4, 32), "db1", ("x", None, None, None), {"x": 4}, 2),
+        # 4D slab 'valid' mode with multiple lead tiles per shard
+        ((64, 16, 4, 32), "db2", ("x", None, None, None), {"x": 2}, 2),
     ],
 )
 def test_sharded_pallas_4d_matches_oracle(shape, wv, spec, mesh_shape, level, rng):
