@@ -53,7 +53,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _CondCopy, _compute_dtype, _round8, _up
+from .pallas_kernels import (_CondCopy, _compute_dtype, _n_slab_ops,
+                             _round8, _slab_ref_dict, _up)
 
 # Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
 # naive stage-sum; this bound maps to the 16MB limit — see
@@ -303,7 +304,7 @@ def _lead_halos(K0, K1, adjoint: bool):
 
 
 def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
-                 padded=None, halo_ax=None, halo_ref=None):
+                 padded=None, slab_axes=(), slab_refs=None):
     """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
     (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
     (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT).
@@ -313,11 +314,12 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
     periodic halo): the three wrap segments collapse to one contiguous copy
     at offset ``i*t``.
 
-    ``halo_ax``/``halo_ref``: the slab 'valid' mode (see
+    ``slab_axes``/``slab_refs``: the slab 'valid' mode (see
     ``pallas_kernels._seg_copies_one``) — the main array stays unpadded;
-    the shard-boundary tiles' L/R segments read the small ppermuted slab,
-    interior tiles read local rows, selected with ``_CondCopy`` pairs.
-    Requires halo widths within one tile (caller gates)."""
+    shard-boundary tiles' L/R segments read the small ppermuted slabs
+    (per-axis, plus the two-hop corner slab for an X,Y pair), interior
+    tiles read local rows, selected with ``_CondCopy`` pairs. Requires
+    halo widths within one tile (caller gates)."""
     per_axis = []  # (src_start, dst_off, extent, variant-or-None)
     for ax in range(2):
         N = XY[ax]
@@ -325,7 +327,7 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
         w_l, w_r = halos[ax]
         gi = (i, j)[ax]
         base = gi * np.int32(t)
-        if ax == halo_ax:
+        if ax in slab_axes:
             n_tiles = N // t
             sC = pl.multiple_of(base, 8) if ax == 1 else base
             first = gi == np.int32(0)
@@ -335,17 +337,18 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
                 sL_loc = base - np.int32(w_l)
                 if ax == 1:
                     sL_loc = pl.multiple_of(sL_loc, 8)
-                segs.append((np.int32(0), 0, w_l, ("slab", first)))
+                segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
                 segs.append((sL_loc, 0, w_l,
-                             ("local", jnp.logical_not(first))))
+                             (ax, "local", jnp.logical_not(first))))
             segs.append((sC, w_l, t, None))
             if w_r > 0:
                 sR_loc = base + np.int32(t)
                 if ax == 1:
                     sR_loc = pl.multiple_of(sR_loc, 8)
-                segs.append((np.int32(w_l), w_l + t, w_r, ("slab", last)))
+                segs.append((np.int32(w_l), w_l + t, w_r,
+                             (ax, "slab", last)))
                 segs.append((sR_loc, w_l + t, w_r,
-                             ("local", jnp.logical_not(last))))
+                             (ax, "local", jnp.logical_not(last))))
             per_axis.append(segs)
             continue
         if padded is not None and padded[ax]:
@@ -367,11 +370,11 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
     for cx in per_axis[0]:
         for cy in per_axis[1]:
             variants = [s[3] for s in (cx, cy) if s[3] is not None]
-            ref = src_ref
+            slab_set = frozenset(v[0] for v in variants if v[1] == "slab")
+            ref = src_ref if not slab_set else slab_refs[slab_set]
             cond = None
-            if variants:
-                kind, cond = variants[0]  # single slab axis
-                ref = halo_ref if kind == "slab" else src_ref
+            for v in variants:
+                cond = v[2] if cond is None else jnp.logical_and(cond, v[2])
             src = (
                 np.int32(band),
                 pl.ds(cx[0], cx[2]),
@@ -451,7 +454,7 @@ def _lane_dec_call(x3, taps_np, T, tiles):
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                    shape_xy=None, padded=None, approx_to_big=False,
-                   halo_ax=None, halo=None):
+                   slab_axes=(), slabs=()):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
@@ -473,11 +476,11 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
     ey = ty + 2 * halos[1][0]
     start1 = halos[1][0] - (K1 // 2 - 1)
 
+    n_slabs = _n_slab_ops(slab_axes)
+
     def kernel(temp_hbm, *rest):
-        if halo_ax is not None:
-            th_hbm, rest = rest[0], rest[1:]
-        else:
-            th_hbm = None
+        t_slabs = _slab_ref_dict(slab_axes, rest[:n_slabs])
+        rest = rest[n_slabs:]
         big_in, big_ref, rest = rest[0], rest[1], rest[2:]
         if approx_to_big:
             app_ref = None
@@ -491,7 +494,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
             return _halo_copies(
                 temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
                 (tx, ty), halos, i, j, k, slot, padded,
-                halo_ax=halo_ax, halo_ref=th_hbm,
+                slab_axes=slab_axes, slab_refs=t_slabs,
             )
 
         for cp in load(0, 0):
@@ -569,7 +572,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
             jax.ShapeDtypeStruct(big5.shape, temp5.dtype),
             jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
         )
-    operands = (temp5,) if halo_ax is None else (temp5, halo)
+    operands = (temp5,) + tuple(slabs)
     return pl.pallas_call(
         kernel,
         grid=(X // tx, Y // ty, Zcnt),
@@ -625,8 +628,8 @@ def dec4(x, taps_np, level: int):
 
 
 def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
-                   shape_xy=None, padded=None, halo_ax=None, y_halo=None,
-                   a_halo=None):
+                   shape_xy=None, padded=None, slab_axes=(), y_slabs=(),
+                   a_slabs=()):
     """Adjoint leading stage -> partial (4, X, Y, L) with
     ``partial[c] = sum_a adj(band[4c+a])``.
 
@@ -649,26 +652,30 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
     start1 = halos[1][0] - K1 // 2
     has_approx = any(kind == "a" for kind, _ in band_src)
 
+    n_slabs = _n_slab_ops(slab_axes)
+
     def kernel(*args):
         args = list(args)
         y_hbm = args.pop(0)
-        yh_hbm = args.pop(0) if halo_ax is not None else None
+        y_refs = _slab_ref_dict(slab_axes, args[:n_slabs])
+        del args[:n_slabs]
         if has_approx:
             a_hbm = args.pop(0)
-            ah_hbm = args.pop(0) if halo_ax is not None else None
+            a_refs = _slab_ref_dict(slab_axes, args[:n_slabs])
+            del args[:n_slabs]
         else:
-            a_hbm = ah_hbm = None
+            a_hbm, a_refs = None, {}
         out_ref, buf, sem_in = args
         i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
         def load(b, slot):
             kind, idx = band_src[b]
             src = y_hbm if kind == "y" else a_hbm
-            h_ref = yh_hbm if kind == "y" else ah_hbm
+            refs = y_refs if kind == "y" else a_refs
             return _halo_copies(
                 src, buf, sem_in.at[np.int32(slot)], idx, (X, Y),
                 (tx, ty), halos, i, j, k, slot, padded,
-                halo_ax=halo_ax, halo_ref=h_ref,
+                slab_axes=slab_axes, slab_refs=refs,
             )
 
         for cp in load(0, 0):
@@ -699,12 +706,9 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                 acc = y0 if acc is None else acc + y0
             out_ref[np.int32(c)] = acc.astype(out_ref.dtype)
 
-    if halo_ax is None:
-        operands = (y5,) if approx is None else (y5, approx)
-    elif approx is None:
-        operands = (y5, y_halo)
-    else:
-        operands = (y5, y_halo, approx, a_halo)
+    operands = (y5,) + tuple(y_slabs)
+    if approx is not None:
+        operands = operands + (approx,) + tuple(a_slabs)
     # X-axis adjoint halos are exact (h_l = K0//2): slice start 0 in the
     # buffered tile already sits at the anchor (start0 = h_l - K0//2 = 0).
     return pl.pallas_call(

@@ -151,8 +151,8 @@ class _CondCopy:
 
 
 def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
-                    band_idx=None, slot=None, padded=None, halo_ax=None,
-                    halo_ref=None):
+                    band_idx=None, slot=None, padded=None, slab_axes=(),
+                    slab_refs=None):
     """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec).
 
     ``padded[ax]`` marks axes whose source array is already halo-padded by
@@ -162,19 +162,21 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     and no modular arithmetic — tile ``i`` of the unpadded extent sits at
     padded rows ``[i*t, i*t + w_l + t + w_r)``.
 
-    ``halo_ax``/``halo_ref``: the slab 'valid' mode — the main array stays
-    UNPADDED (no full-size XLA concat copy per level) and axis ``halo_ax``'s
-    halo comes from ``halo_ref``, a small ``(.., w_l + w_r, ..)`` slab
+    ``slab_axes``/``slab_refs``: the slab 'valid' mode — the main array
+    stays UNPADDED (no full-size XLA concat copy per level) and each slab
+    axis's halo comes from a small ``(.., w_l + w_r, ..)`` slab operand
     holding [left-neighbor tail | right-neighbor head] (two ppermutes + one
-    slab-sized concat). Only the first tile's L segment and the last tile's
-    R segment read the slab; interior tiles read local rows — selected per
-    grid step with :class:`_CondCopy` pairs. Requires ``w <= tile`` (the
-    caller gates; deeper halos would span two tiles) and a single slab
-    axis (two sharded leading axes would need corner exchange — concat
-    mode handles those).
+    slab-sized concat per axis). ``slab_refs`` maps a frozenset of slab
+    axes to the ref covering that combination: per axis the axis slab, and
+    for a pair of slab axes the CORNER slab (the axis-1 slab of the axis-0
+    slab — diagonal neighbors via two-hop exchange); the empty set is the
+    main array. Only shard-boundary tiles read a slab; interior tiles read
+    local rows — selected per grid step with :class:`_CondCopy` pairs.
+    Requires ``w <= tile`` on every slab axis (the caller gates; deeper
+    halos would span two tiles).
     """
     # per axis: list of (src_start, dst_off, extent, variant) with variant
-    # None (main array) / ("slab", cond) / ("local", cond).
+    # None (main array) / (ax, "slab", cond) / (ax, "local", cond).
     per_axis = []
     for ax in range(len(tiles)):
         N = shape_sp[ax]
@@ -182,7 +184,7 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         w_l, w_r, aligned = halos[ax]
         i = grid_ids[ax]
         base = i * np.int32(t)
-        if ax == halo_ax:
+        if ax in slab_axes:
             n_tiles = N // t
             sC = pl.multiple_of(base, 8) if aligned else base
             first = i == np.int32(0)
@@ -192,16 +194,17 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
                 sL_loc = base - np.int32(w_l)
                 if aligned:
                     sL_loc = pl.multiple_of(sL_loc, 8)
-                segs.append((np.int32(0), 0, w_l, ("slab", first)))
-                segs.append((sL_loc, 0, w_l, ("local", jnp.logical_not(first))))
+                segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
+                segs.append((sL_loc, 0, w_l,
+                             (ax, "local", jnp.logical_not(first))))
             segs.append((sC, w_l, t, None))
             if w_r > 0:
                 sR_loc = base + np.int32(t)
                 if aligned:
                     sR_loc = pl.multiple_of(sR_loc, 8)
-                segs.append((np.int32(w_l), w_l + t, w_r, ("slab", last)))
+                segs.append((np.int32(w_l), w_l + t, w_r, (ax, "slab", last)))
                 segs.append((sR_loc, w_l + t, w_r,
-                             ("local", jnp.logical_not(last))))
+                             (ax, "local", jnp.logical_not(last))))
             per_axis.append(segs)
             continue
         if padded is not None and padded[ax]:
@@ -224,11 +227,11 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     copies = []
     for combo in combos:
         variants = [s[3] for s in combo if s[3] is not None]
-        ref = src_ref
+        slab_set = frozenset(v[0] for v in variants if v[1] == "slab")
+        ref = src_ref if not slab_set else slab_refs[slab_set]
         cond = None
-        if variants:
-            kind, cond = variants[0]  # single slab axis => at most one
-            ref = halo_ref if kind == "slab" else src_ref
+        for v in variants:
+            cond = v[2] if cond is None else jnp.logical_and(cond, v[2])
         spatial_src = tuple(pl.ds(s, e) for s, _, e, _ in combo) + (slice(None),)
         src = spatial_src if band_idx is None else (np.int32(band_idx),) + spatial_src
         dst_sp = tuple(slice(off, off + e) for _, off, e, _ in combo) + (
@@ -240,8 +243,25 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     return copies
 
 
+def _slab_ref_dict(slab_axes, refs):
+    """{frozenset(axes) -> ref} from the flat slab-operand list: one per
+    axis (sorted) then the corner for an axis pair."""
+    d = {}
+    axes = sorted(slab_axes)
+    for n, ax in enumerate(axes):
+        d[frozenset((ax,))] = refs[n]
+    if len(axes) == 2:
+        d[frozenset(axes)] = refs[2]
+    return d
+
+
+def _n_slab_ops(slab_axes):
+    n = len(slab_axes)
+    return n + (1 if n == 2 else 0)
+
+
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
-                     padded=None, approx_to_big=False, halo_ax=None):
+                     padded=None, approx_to_big=False, slab_axes=()):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -256,11 +276,11 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
 
+    n_slabs = _n_slab_ops(slab_axes)
+
     def kernel(x_hbm, *rest):
-        if halo_ax is not None:
-            xh_hbm, rest = rest[0], rest[1:]
-        else:
-            xh_hbm = None
+        slab_refs = _slab_ref_dict(slab_axes, rest[:n_slabs])
+        rest = rest[n_slabs:]
         big_in, big_ref, rest = rest[0], rest[1], rest[2:]
         if approx_to_big:
             app_ref = None
@@ -271,7 +291,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
             x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded,
-            halo_ax=halo_ax, halo_ref=xh_hbm,
+            slab_axes=slab_axes, slab_refs=slab_refs,
         )
         for c in copies:
             c.start()
@@ -366,7 +386,7 @@ def _dec_tiles(shape, taps_np):
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
-                     approx_to_big=False, halo_ax=None, halo=None):
+                     approx_to_big=False, slab_axes=(), slabs=()):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
@@ -375,9 +395,9 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     ``shape``/``padded``: concat 'valid' mode — ``x`` is already
     halo-padded on the ``padded`` leading axes (by the ``_dec_halos``
     widths) and ``shape`` is the unpadded output shape.
-    ``halo_ax``/``halo``: slab 'valid' mode — ``x`` stays unpadded and
-    axis ``halo_ax``'s periodic neighbors ride in the small ``halo``
-    operand (see ``_seg_copies_one``)."""
+    ``slab_axes``/``slabs``: slab 'valid' mode — ``x`` stays unpadded and
+    the slab axes' periodic neighbors ride in the small slab operands
+    (per-axis slabs then the corner; see ``_seg_copies_one``)."""
     if shape is None:
         shape = x.shape
     ndim = len(shape)
@@ -410,10 +430,10 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
             jax.ShapeDtypeStruct((B,) + shape, x.dtype),
             jax.ShapeDtypeStruct(shape, x.dtype),
         )
-    operands = (x,) if halo_ax is None else (x, halo)
+    operands = (x,) + tuple(slabs)
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
-                         approx_to_big, halo_ax),
+                         approx_to_big, tuple(slab_axes)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
@@ -546,7 +566,7 @@ def _rec_halos(ndim, taps_np_tuple):
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
-                     padded=None, halo_ax=None):
+                     padded=None, slab_axes=()):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -569,27 +589,32 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
     # the exact adjoint halo.
     halos = _rec_halos(ndim, taps_np_tuple)
 
+    n_slabs = _n_slab_ops(slab_axes)
+
     def kernel(*args):
         args = list(args)
         y_hbm = args.pop(0)
-        yh_hbm = args.pop(0) if halo_ax is not None else None
+        y_slabs = _slab_ref_dict(slab_axes, args[:n_slabs])
+        del args[:n_slabs]
         if has_approx:
             a_hbm = args.pop(0)
-            ah_hbm = args.pop(0) if halo_ax is not None else None
+            a_slabs = _slab_ref_dict(slab_axes, args[:n_slabs])
+            del args[:n_slabs]
         else:
-            a_hbm = ah_hbm = None
+            a_hbm, a_slabs = None, {}
         out_ref, bufs, sems = args
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
         def seg_copies(b, slot):
             kind, idx = band_src[b]
             src_ref = a_hbm if kind == "a" else y_hbm
-            h_ref = ah_hbm if kind == "a" else yh_hbm
+            refs = a_slabs if kind == "a" else y_slabs
             return _seg_copies_one(
                 src_ref, bufs, sems.at[np.int32(slot)], shape_sp, tiles,
                 halos, grid_ids,
                 band_idx=None if kind == "a" else idx,
-                slot=slot, padded=padded, halo_ax=halo_ax, halo_ref=h_ref,
+                slot=slot, padded=padded, slab_axes=slab_axes,
+                slab_refs=refs,
             )
 
         for pre in range(min(NSLOT - 1, nb)):
@@ -645,13 +670,13 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
 
 
 def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
-                     padded=None, halo_ax=None, y_halo=None, a_halo=None):
+                     padded=None, slab_axes=(), y_slabs=(), a_slabs=()):
     """Concat 'valid' mode (``shape``/``padded``): band arrays already
     halo-padded on the ``padded`` leading axes by the ``_rec_halos``
     widths; ``shape`` is the unpadded output shape. Slab 'valid' mode
-    (``halo_ax``/``y_halo``/``a_halo``): sources stay unpadded and axis
-    ``halo_ax``'s neighbors ride in small slab operands
-    (see ``_seg_copies_one``)."""
+    (``slab_axes``/``y_slabs``/``a_slabs``): sources stay unpadded and the
+    slab axes' neighbors ride in small slab operands (per-axis slabs then
+    the corner; see ``_seg_copies_one``)."""
     if shape is None:
         shape = y_all.shape[1:]
     ndim = len(shape)
@@ -667,15 +692,12 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     ]
     buf_tile = (3,) + tuple(buf_rows) + (shape[-1],)
 
-    if halo_ax is None:
-        operands = (y_all,) if approx is None else (y_all, approx)
-    elif approx is None:
-        operands = (y_all, y_halo)
-    else:
-        operands = (y_all, y_halo, approx, a_halo)
+    operands = (y_all,) + tuple(y_slabs)
+    if approx is not None:
+        operands = operands + (approx,) + tuple(a_slabs)
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale,
-                         padded, halo_ax),
+                         padded, tuple(slab_axes)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=pl.BlockSpec(

@@ -234,20 +234,41 @@ def _halo_slab(arr, axis, axis_name, w_l, w_r):
     return jnp.concatenate([tail, head], axis=axis)
 
 
-def _single_sharded_axis(axis_names, n_lead, halos, tiles):
-    """The only sharded leading-axis index if the slab 'valid' mode can
-    serve it, else None (fall back to concat-pad). Slab mode needs exactly
-    one sharded leading axis (two would need corner exchange) and halo
-    widths within one tile (the L/R source split is binary:
-    shard-boundary tile -> slab, interior tile -> local rows)."""
+def _slab_axes_for(axis_names, n_lead, halos, tiles):
+    """The sharded leading axes as a tuple if the slab 'valid' mode can
+    serve them, else None (fall back to concat-pad). Slab mode covers one
+    or two sharded leading axes (a pair adds the corner slab — diagonal
+    neighbors via a two-hop exchange) with halo widths within one tile
+    (the L/R source split per axis is binary: shard-boundary tile -> slab,
+    interior tile -> local rows)."""
     sharded = [ax for ax in range(n_lead) if axis_names[ax] is not None]
-    if len(sharded) != 1 or tiles is None:
+    if not sharded or len(sharded) > 2 or tiles is None:
         return None
-    ax = sharded[0]
-    w_l, w_r = halos[ax][0], halos[ax][1]  # 3D (w,w,aligned) / 4D (w,w)
-    if w_l > tiles[ax] or w_r > tiles[ax]:
-        return None
-    return ax
+    for ax in sharded:
+        w_l, w_r = halos[ax][0], halos[ax][1]  # 3D (w,w,aligned) / 4D (w,w)
+        if w_l > tiles[ax] or w_r > tiles[ax]:
+            return None
+    return tuple(sharded)
+
+
+def _build_slabs(arr, slab_axes, axis_names, halos, lead_off):
+    """Per-axis halo slabs plus (for an axis pair) the corner slab: the
+    second axis's slab OF the first axis's slab — two ppermute hops reach
+    the diagonal neighbors, so the kernels' boundary-corner segments have
+    an exact periodic source."""
+    slabs = []
+    for ax in sorted(slab_axes):
+        w_l, w_r = halos[ax][0], halos[ax][1]
+        slabs.append(
+            _halo_slab(arr, lead_off + ax, axis_names[ax], w_l, w_r)
+        )
+    if len(slab_axes) == 2:
+        ax0, ax1 = sorted(slab_axes)
+        w_l, w_r = halos[ax1][0], halos[ax1][1]
+        slabs.append(
+            _halo_slab(slabs[0], lead_off + ax1, axis_names[ax1], w_l, w_r)
+        )
+    return tuple(slabs)
 
 
 def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
@@ -258,7 +279,7 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
     B = nb + (nb - 1) * (level - 1)
     halos = pk._dec_halos(ndim, taps_np)
     padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
-    slab_ax = _single_sharded_axis(
+    slab_axes = _slab_axes_for(
         axis_names, ndim - 1, halos, pk._dec_tiles(tuple(local_shape), taps_np)
     )
     big = jnp.empty((B,) + tuple(local_shape), x.dtype)
@@ -267,12 +288,11 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
     for lvl in range(level):
         off -= nb - 1
         final = lvl == level - 1
-        if slab_ax is not None:
-            w_l, w_r, _ = halos[slab_ax]
-            slab = _halo_slab(approx, slab_ax, axis_names[slab_ax], w_l, w_r)
+        if slab_axes is not None:
+            slabs = _build_slabs(approx, slab_axes, axis_names, halos, 0)
             out = pk._fused_dec_level(
                 approx, big, off, taps_np, shape=tuple(local_shape),
-                approx_to_big=final, halo_ax=slab_ax, halo=slab,
+                approx_to_big=final, slab_axes=slab_axes, slabs=slabs,
             )
         else:
             xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
@@ -292,27 +312,25 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
     nb = 2**ndim
     halos = pk._rec_halos(ndim, taps_np)
     padded = tuple(axis_names[ax] is not None for ax in range(ndim - 1))
-    slab_ax = _single_sharded_axis(
+    slab_axes = _slab_axes_for(
         axis_names, ndim - 1, halos, pk._rec_tiles(tuple(local_shape), taps_np)
     )
     scale = 1.0 if preserve_l2 else 1.0 / nb
     band_src = [("y", b) for b in range(nb)]
 
-    if slab_ax is not None:
-        w_l, w_r, _ = halos[slab_ax]
-        name = axis_names[slab_ax]
-        y_slab = _halo_slab(y, slab_ax + 1, name, w_l, w_r)
+    if slab_axes is not None:
+        y_slabs = _build_slabs(y, slab_axes, axis_names, halos, 1)
         acc = pk._fused_rec_level(
             y, None, band_src, taps_np, scale, shape=tuple(local_shape),
-            halo_ax=slab_ax, y_halo=y_slab,
+            slab_axes=slab_axes, y_slabs=y_slabs,
         )
         pos = nb
         for _ in range(1, level):
-            a_slab = _halo_slab(acc, slab_ax, name, w_l, w_r)
+            a_slabs = _build_slabs(acc, slab_axes, axis_names, halos, 0)
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
             acc = pk._fused_rec_level(
                 y, acc, band_src, taps_np, scale, shape=tuple(local_shape),
-                halo_ax=slab_ax, y_halo=y_slab, a_halo=a_slab,
+                slab_axes=slab_axes, y_slabs=y_slabs, a_slabs=a_slabs,
             )
             pos += nb - 1
         return acc
@@ -352,7 +370,7 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
     nb = 16
     B = nb + (nb - 1) * (level - 1)
 
-    slab_ax = _single_sharded_axis(axis_names[:2], 2, halos, lead_t)
+    slab_axes = _slab_axes_for(axis_names[:2], 2, halos, lead_t)
     big5 = jnp.empty((B, X, Y, Zcnt, zct), x.dtype)
     approx = x.reshape(X, Y, L)
     off = B
@@ -362,14 +380,12 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
         temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
             4, X, Y, Zcnt, zct
         )
-        if slab_ax is not None:
-            w_l, w_r = halos[slab_ax]
-            slab = _halo_slab(temp5, 1 + slab_ax, axis_names[slab_ax],
-                              w_l, w_r)
+        if slab_axes is not None:
+            slabs = _build_slabs(temp5, slab_axes, axis_names, halos, 1)
             out = p4._lead_dec_call(
                 temp5, big5, off, taps_np, lead_t, zct,
                 shape_xy=(X, Y), approx_to_big=final,
-                halo_ax=slab_ax, halo=slab,
+                slab_axes=slab_axes, slabs=slabs,
             )
         else:
             if padded[0]:
@@ -407,7 +423,7 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
     B = y.shape[0]
     scale = 1.0 if preserve_l2 else 1.0 / nb
 
-    slab_ax = _single_sharded_axis(axis_names[:2], 2, halos, lead_t)
+    slab_axes = _slab_axes_for(axis_names[:2], 2, halos, lead_t)
 
     def pad_xy(arr5):
         if padded[0]:
@@ -417,14 +433,12 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
         return arr5
 
     band_src = [("y", b) for b in range(nb)]
-    if slab_ax is not None:
-        w_l, w_r = halos[slab_ax]
-        name = axis_names[slab_ax]
+    if slab_axes is not None:
         y5 = y.reshape(B, X, Y, Zcnt, zct)
-        y_slab = _halo_slab(y5, 1 + slab_ax, name, w_l, w_r)
+        y_slabs = _build_slabs(y5, slab_axes, axis_names, halos, 1)
         partial = p4._lead_adj_call(
             y5, None, band_src, taps_np, lead_t, zct,
-            shape_xy=(X, Y), halo_ax=slab_ax, y_halo=y_slab,
+            shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
         )
         acc = p4._lane_adj_call(
             partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
@@ -433,11 +447,11 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
         for _ in range(1, level):
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
             acc5 = acc.reshape(1, X, Y, Zcnt, zct)
-            a_slab = _halo_slab(acc5, 1 + slab_ax, name, w_l, w_r)
+            a_slabs = _build_slabs(acc5, slab_axes, axis_names, halos, 1)
             partial = p4._lead_adj_call(
                 y5, acc5, band_src, taps_np, lead_t, zct,
-                shape_xy=(X, Y), halo_ax=slab_ax, y_halo=y_slab,
-                a_halo=a_slab,
+                shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
+                a_slabs=a_slabs,
             )
             acc = p4._lane_adj_call(
                 partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale

@@ -164,6 +164,8 @@ from jax.experimental.pallas import tpu as pltpu
         # axis (interior tiles take local halo rows, only shard-boundary
         # tiles read the ppermuted slab)
         ((64, 32, 128), "db4", ("x", None, None), {"x": 2}, 2),
+        # two-axis slab mode with corner slabs AND multiple tiles per shard
+        ((64, 64, 128), "db2", ("x", "y", None), {"x": 2, "y": 2}, 2),
     ],
 )
 @pytest.mark.parametrize("pl2", [False, True])
