@@ -253,8 +253,8 @@ def main():
     try:
         from non_decimated_wavelets_tpu.parallel import ShardedNDDWT, make_mesh
 
-        mesh = make_mesh({"x": 1}, jax.devices()[:1])
-        sh = ShardedNDDWT(plan, mesh, ("x", None, None), use_pallas=True)
+        mesh = make_mesh({"x": 1, "y": 1}, jax.devices()[:1])
+        sh = ShardedNDDWT(plan, mesh, ("x", "y", None), use_pallas=True)
         xs = sh.shard_input(x)
         dec_s = sh.dec_fn(level)
         rec_s = sh.rec_fn(level)
