@@ -253,14 +253,18 @@ def main():
     try:
         from non_decimated_wavelets_tpu.parallel import ShardedNDDWT, make_mesh
 
-        mesh = make_mesh({"x": 1, "y": 1}, jax.devices()[:1])
-        sh = ShardedNDDWT(plan, mesh, ("x", "y", None), use_pallas=True)
-        xs = sh.shard_input(x)
-        dec_s = sh.dec_fn(level)
-        rec_s = sh.rec_fn(level)
-        tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
-        log(f"3D {shape} sharded(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
-            f"{nvox/tp/1e6:.1f} Mvox/s per chip")
+        for mesh_axes, spec, tag in (
+            ({"x": 1}, ("x", None, None), "x-sharded"),
+            ({"x": 1, "y": 1}, ("x", "y", None), "xy-sharded"),
+        ):
+            mesh = make_mesh(mesh_axes, jax.devices()[:1])
+            sh = ShardedNDDWT(plan, mesh, spec, use_pallas=True)
+            xs = sh.shard_input(x)
+            dec_s = sh.dec_fn(level)
+            rec_s = sh.rec_fn(level)
+            tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
+            log(f"3D {shape} {tag}(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
+                f"{nvox/tp/1e6:.1f} Mvox/s per chip")
     except Exception as e:  # pragma: no cover
         log(f"sharded bench failed: {e!r}")
 

@@ -53,8 +53,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import (_CondCopy, _compute_dtype, _n_slab_ops,
-                             _round8, _slab_ref_dict, _up)
+from .pallas_kernels import (_combo_src, _compute_dtype, _CondCopy,
+                             _n_slab_ops, _round8, _slab_axis_segs,
+                             _slab_ref_dict, _up)
 
 # Live-VMEM budget in f32 words (Mosaic's scoped-VMEM accounting is ~2.4x a
 # naive stage-sum; this bound maps to the 16MB limit — see
@@ -328,28 +329,9 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
         gi = (i, j)[ax]
         base = gi * np.int32(t)
         if ax in slab_axes:
-            n_tiles = N // t
-            sC = pl.multiple_of(base, 8) if ax == 1 else base
-            first = gi == np.int32(0)
-            last = gi == np.int32(n_tiles - 1)
-            segs = []
-            if w_l > 0:
-                sL_loc = base - np.int32(w_l)
-                if ax == 1:
-                    sL_loc = pl.multiple_of(sL_loc, 8)
-                segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
-                segs.append((sL_loc, 0, w_l,
-                             (ax, "local", jnp.logical_not(first))))
-            segs.append((sC, w_l, t, None))
-            if w_r > 0:
-                sR_loc = base + np.int32(t)
-                if ax == 1:
-                    sR_loc = pl.multiple_of(sR_loc, 8)
-                segs.append((np.int32(w_l), w_l + t, w_r,
-                             (ax, "slab", last)))
-                segs.append((sR_loc, w_l + t, w_r,
-                             (ax, "local", jnp.logical_not(last))))
-            per_axis.append(segs)
+            per_axis.append(
+                _slab_axis_segs(base, gi, t, N, w_l, w_r, ax == 1, ax)
+            )
             continue
         if padded is not None and padded[ax]:
             s0 = pl.multiple_of(base, 8) if ax == 1 else base
@@ -370,11 +352,7 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
     for cx in per_axis[0]:
         for cy in per_axis[1]:
             variants = [s[3] for s in (cx, cy) if s[3] is not None]
-            slab_set = frozenset(v[0] for v in variants if v[1] == "slab")
-            ref = src_ref if not slab_set else slab_refs[slab_set]
-            cond = None
-            for v in variants:
-                cond = v[2] if cond is None else jnp.logical_and(cond, v[2])
+            ref, cond = _combo_src(variants, src_ref, slab_refs)
             src = (
                 np.int32(band),
                 pl.ds(cx[0], cx[2]),

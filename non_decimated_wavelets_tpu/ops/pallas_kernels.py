@@ -150,6 +150,48 @@ class _CondCopy:
         pl.when(self._cond)(self._copy.wait)
 
 
+def _slab_axis_segs(base, gi, t, N, w_l, w_r, aligned, ax):
+    """Per-axis L/C/R segment list for a slab 'valid' axis: each segment is
+    ``(src_start, dst_off, extent, variant)`` where the L/R halo segments
+    come in a pair of mutually exclusive variants — ``(ax, "slab", cond)``
+    for the shard-boundary tile reading the ppermuted slab, and
+    ``(ax, "local", cond)`` for interior tiles reading local rows.
+    Shared by ``_seg_copies_one`` and ``pallas_4d._halo_copies`` (the
+    interior-vs-boundary split is the hard-won part — one home)."""
+    n_tiles = N // t
+    sC = pl.multiple_of(base, 8) if aligned else base
+    first = gi == np.int32(0)
+    last = gi == np.int32(n_tiles - 1)
+    segs = []
+    if w_l > 0:
+        sL_loc = base - np.int32(w_l)
+        if aligned:
+            sL_loc = pl.multiple_of(sL_loc, 8)
+        segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
+        segs.append((sL_loc, 0, w_l, (ax, "local", jnp.logical_not(first))))
+    segs.append((sC, w_l, t, None))
+    if w_r > 0:
+        sR_loc = base + np.int32(t)
+        if aligned:
+            sR_loc = pl.multiple_of(sR_loc, 8)
+        segs.append((np.int32(w_l), w_l + t, w_r, (ax, "slab", last)))
+        segs.append((sR_loc, w_l + t, w_r, (ax, "local",
+                                            jnp.logical_not(last))))
+    return segs
+
+
+def _combo_src(variants, src_ref, slab_refs):
+    """(ref, cond) for one combo: the slab ref keyed by the combo's slab
+    axes (corner for a pair), the main array otherwise; cond is the AND of
+    the variants' tile-position conditions (None for unconditional)."""
+    slab_set = frozenset(v[0] for v in variants if v[1] == "slab")
+    ref = src_ref if not slab_set else slab_refs[slab_set]
+    cond = None
+    for v in variants:
+        cond = v[2] if cond is None else jnp.logical_and(cond, v[2])
+    return ref, cond
+
+
 def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
                     band_idx=None, slot=None, padded=None, slab_axes=(),
                     slab_refs=None):
@@ -185,27 +227,9 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         i = grid_ids[ax]
         base = i * np.int32(t)
         if ax in slab_axes:
-            n_tiles = N // t
-            sC = pl.multiple_of(base, 8) if aligned else base
-            first = i == np.int32(0)
-            last = i == np.int32(n_tiles - 1)
-            segs = []
-            if w_l > 0:
-                sL_loc = base - np.int32(w_l)
-                if aligned:
-                    sL_loc = pl.multiple_of(sL_loc, 8)
-                segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
-                segs.append((sL_loc, 0, w_l,
-                             (ax, "local", jnp.logical_not(first))))
-            segs.append((sC, w_l, t, None))
-            if w_r > 0:
-                sR_loc = base + np.int32(t)
-                if aligned:
-                    sR_loc = pl.multiple_of(sR_loc, 8)
-                segs.append((np.int32(w_l), w_l + t, w_r, (ax, "slab", last)))
-                segs.append((sR_loc, w_l + t, w_r,
-                             (ax, "local", jnp.logical_not(last))))
-            per_axis.append(segs)
+            per_axis.append(
+                _slab_axis_segs(base, i, t, N, w_l, w_r, aligned, ax)
+            )
             continue
         if padded is not None and padded[ax]:
             s0 = pl.multiple_of(base, 8) if aligned else base
@@ -227,11 +251,7 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     copies = []
     for combo in combos:
         variants = [s[3] for s in combo if s[3] is not None]
-        slab_set = frozenset(v[0] for v in variants if v[1] == "slab")
-        ref = src_ref if not slab_set else slab_refs[slab_set]
-        cond = None
-        for v in variants:
-            cond = v[2] if cond is None else jnp.logical_and(cond, v[2])
+        ref, cond = _combo_src(variants, src_ref, slab_refs)
         spatial_src = tuple(pl.ds(s, e) for s, _, e, _ in combo) + (slice(None),)
         src = spatial_src if band_idx is None else (np.int32(band_idx),) + spatial_src
         dst_sp = tuple(slice(off, off + e) for _, off, e, _ in combo) + (

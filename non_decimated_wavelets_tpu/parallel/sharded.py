@@ -222,16 +222,24 @@ def _halo_slab(arr, axis, axis_name, w_l, w_r):
     head] along ``axis`` — the minimal periodic exchange for one sharded
     axis. Feeds the kernels' slab 'valid' mode, which reads L/R halo
     segments from this operand instead of a full-size concat-padded copy
-    of the array (the pad copy was ~1/3 of the sharded pair's runtime)."""
+    of the array (the pad copy was ~1/3 of the sharded pair's runtime).
+    Zero-width sides are skipped (no degenerate ppermute — zero-element
+    collectives are a hazard on the target backend)."""
     size = jax.lax.axis_size(axis_name)
     n = arr.shape[axis]
-    tail = jax.lax.slice_in_dim(arr, n - w_l, n, axis=axis)
-    head = jax.lax.slice_in_dim(arr, 0, w_r, axis=axis)
-    if size > 1:
-        fwd, bwd = _ring_perms(size)
-        tail = jax.lax.ppermute(tail, axis_name, fwd)
-        head = jax.lax.ppermute(head, axis_name, bwd)
-    return jnp.concatenate([tail, head], axis=axis)
+    fwd, bwd = _ring_perms(size)
+    parts = []
+    if w_l:
+        tail = jax.lax.slice_in_dim(arr, n - w_l, n, axis=axis)
+        if size > 1:
+            tail = jax.lax.ppermute(tail, axis_name, fwd)
+        parts.append(tail)
+    if w_r:
+        head = jax.lax.slice_in_dim(arr, 0, w_r, axis=axis)
+        if size > 1:
+            head = jax.lax.ppermute(head, axis_name, bwd)
+        parts.append(head)
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
 def _slab_axes_for(axis_names, n_lead, halos, tiles):

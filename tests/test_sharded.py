@@ -166,6 +166,9 @@ from jax.experimental.pallas import tpu as pltpu
         ((64, 32, 128), "db4", ("x", None, None), {"x": 2}, 2),
         # two-axis slab mode with corner slabs AND multiple tiles per shard
         ((64, 64, 128), "db2", ("x", "y", None), {"x": 2, "y": 2}, 2),
+        # concat 'valid' fallback: db10 halo (9/10 rows) exceeds the 8-row
+        # tile of the 24-row local shard -> _slab_axes_for declines
+        ((96, 32, 128), "db10", ("x", None, None), {"x": 4}, 1),
     ],
 )
 @pytest.mark.parametrize("pl2", [False, True])
