@@ -82,54 +82,19 @@ def _corr_fori(v, taps_ref, sel, axis, o, reverse):
 
 
 def _make_res_dec_kernel(ndim_sp, lifted, Ks, level, B, nb):
+    """Standalone analysis kernel: the shared ``_dec_phase`` body with no
+    shrinkage (the fused pair kernel passes ``lam`` through the same
+    helper — one home for the DMA/double-buffer/x64 invariants)."""
     ax_off = len(lifted) - ndim_sp
 
     def kernel(x_hbm, *rest):
         taps_refs = rest[:ndim_sp]
         out_hbm = rest[ndim_sp]
         xbuf, stage, sem_in, sem_out = rest[ndim_sp + 1 :]
-        dma = pltpu.make_async_copy(x_hbm, xbuf, sem_in)
-        dma.start()
-        dma.wait()
-        approx = _up(xbuf[...])
-
-        def write_band(idx, val, slot):
-            stage[np.int32(slot)] = val.astype(stage.dtype)
-            c = pltpu.make_async_copy(
-                stage.at[np.int32(slot)],
-                out_hbm.at[np.int32(idx)],
-                sem_out.at[np.int32(slot)],
-            )
-            c.start()
-            return c
-
-        inflight = [None, None]
-        slot = 0
-        off = B
-        for lvl in range(level):
-            def band_val(b, approx=approx):
-                v = approx
-                for ax in range(ndim_sp):
-                    o = Ks[ax] // 2 - 1
-                    v = _corr_fori(
-                        v, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, False
-                    )
-                return v
-
-            new_approx = band_val(0)
-            off -= nb - 1
-            for b in range(1, nb):
-                if inflight[slot] is not None:
-                    inflight[slot].wait()
-                inflight[slot] = write_band(off + b - 1, band_val(b), slot)
-                slot ^= 1
-            approx = new_approx
-        if inflight[slot] is not None:
-            inflight[slot].wait()
-        inflight[slot] = write_band(0, approx, slot)
-        for c in inflight:
-            if c is not None:
-                c.wait()
+        _dec_phase(
+            x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
+            ndim_sp, Ks, level, B, nb, ax_off, 0.0,
+        )
 
     return kernel
 
@@ -366,68 +331,19 @@ def pair_resident(x, taps_np, level: int, preserve_l2: bool, lam: float = 0.0):
 
 
 def _make_res_rec_kernel(ndim_sp, lifted, Ks, level, nb, scale):
+    """Standalone synthesis kernel: the shared ``_rec_phase`` streaming
+    body plus the final staged write (the fused pair kernel uses the same
+    helper — one home for the prefetch/x64 invariants)."""
     ax_off = len(lifted) - ndim_sp
 
     def kernel(y_hbm, *rest):
         taps_refs = rest[:ndim_sp]
         out_hbm = rest[ndim_sp]
         bufs, stage, sem_in, sem_out = rest[ndim_sp + 1 :]
-
-        reads = []
-        pos = nb
-        for lvl in range(level):
-            if lvl == 0:
-                reads.extend(range(nb))
-            else:
-                reads.append(None)
-                reads.extend(range(pos, pos + nb - 1))
-                pos += nb - 1
-
-        def start_read(step, slot):
-            idx = reads[step]
-            if idx is None:
-                return None
-            c = pltpu.make_async_copy(
-                y_hbm.at[np.int32(idx)],
-                bufs.at[np.int32(slot)],
-                sem_in.at[np.int32(slot)],
-            )
-            c.start()
-            return c
-
-        # Stride-1 prefetch on two slots.
-        inflight = {}
-        if len(reads) > 0:
-            inflight[0] = start_read(0, 0)
-
-        acc = None
-        step = 0
-        for lvl in range(level):
-            lvl_acc = None
-            for b in range(nb):
-                nxt = step + 1
-                if nxt < len(reads):
-                    inflight[nxt] = start_read(nxt, nxt % 2)
-                c = inflight.pop(step, None)
-                if c is not None:
-                    c.wait()
-                    v = _up(bufs[np.int32(step % 2)])
-                else:
-                    v = acc  # running approximation, already in VMEM
-                contrib = v
-                for ax in range(ndim_sp):
-                    o = Ks[ax] // 2 - 1
-                    contrib = _corr_fori(
-                        contrib,
-                        taps_refs[ax],
-                        (b >> ax) & 1,
-                        ax + ax_off,
-                        o,
-                        True,
-                    )
-                lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
-                step += 1
-            acc = lvl_acc * scale if scale != 1.0 else lvl_acc
+        acc = _rec_phase(
+            y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
+            bufs, sem_in,
+        )
         stage[...] = acc.astype(stage.dtype)
         c = pltpu.make_async_copy(stage, out_hbm, sem_out)
         c.start()

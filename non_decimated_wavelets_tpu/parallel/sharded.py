@@ -524,7 +524,11 @@ class ShardedNDDWT:
                     f"by mesh axis {name!r} (size {psize})"
                 )
             local = plan.shape[ax] // psize
-            halo = plan.filter_lengths[ax] - 1
+            # The XLA halo-exchange body needs max(K//2, K//2-1) = K//2
+            # rows from each ring neighbor; the Pallas bodies' (rounded)
+            # halo requirements are checked separately in _pallas_feasible
+            # and fall back to the XLA body when unmet.
+            halo = plan.filter_lengths[ax] // 2
             if local < halo:
                 raise ValueError(
                     f"local shard of axis {ax} ({local}) is smaller than the "

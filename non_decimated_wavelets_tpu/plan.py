@@ -182,8 +182,7 @@ class NDDWT:
         on_accel = jax.default_backend() != "cpu"
         if self.real_dtype == jnp.dtype(jnp.float64):
             return "direct"
-        if on_accel:
-            pass  # fall through to pallas/direct below; never 'fft'
+        # On accelerators, fall through to pallas/direct — never 'fft'.
         # On real accelerators the fused Pallas level kernels are ~3x the
         # XLA direct path (measured 62ms vs 200ms per 256^3 db4 L3 pair);
         # use them whenever the shape/dtype tiles. Interpreter-mode Pallas
@@ -242,6 +241,9 @@ class NDDWT:
                 y = pallas_kernels.dec_pallas(x, self.taps_hp, level)
             else:
                 y = direct_path.dec_direct(x, self.taps, level)
+        # Pin the plan dtype: the FFT path computes in complex64/128, whose
+        # .real is f32/f64 — a bf16 plan must still return bf16 bands.
+        y = y.astype(self.complex_dtype if is_complex else self.real_dtype)
         if band_axis in (-1, y.ndim - 1):
             y = jnp.moveaxis(y, 0, -1)
         elif band_axis != 0:
@@ -281,7 +283,7 @@ class NDDWT:
                 x = pallas_kernels.rec_pallas(y, self.taps_hp, level, self.preserve_l2)
             else:
                 x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
-        return x
+        return x.astype(self.complex_dtype if is_complex else self.real_dtype)
 
     # ------------------------------------------------------- fused iterate
     def dec_rec(self, x, level: int, threshold: float = 0.0,
@@ -338,12 +340,11 @@ class NDDWT:
         if y is None:
             y = self.dec(x, level, band_axis=0)
             if threshold:
-                mag = jnp.abs(y[1:])
-                shrunk = y[1:] * (
-                    jnp.maximum(mag - threshold, 0.0)
-                    / jnp.maximum(mag, 1e-30)
+                from .models.denoise import soft_threshold
+
+                y = jnp.concatenate(
+                    [y[:1], soft_threshold(y[1:], threshold)], axis=0
                 )
-                y = jnp.concatenate([y[:1], shrunk], axis=0)
             xr = self.rec(y, band_axis=0)
         if band_axis in (-1, y.ndim - 1):
             y = jnp.moveaxis(y, 0, -1)
@@ -455,6 +456,15 @@ class NDDWT:
 
                 f = lambda v: pallas_kernels.dec_pallas(v, self.taps_hp, level)
                 return jnp.stack([f(x_pair[0]), f(x_pair[1])])
+            if path == "fft":
+                # an explicit path='fft' plan is honored per component
+                # (the parts are real; infeasible combos raise in
+                # _resolve_path exactly as for dec)
+                f = lambda v: fft_path.dec_fft(v, self.resp, level,
+                                               real_out=True)
+                return jnp.stack(
+                    [f(x_pair[0]), f(x_pair[1])]
+                ).astype(self.real_dtype)
             # direct path handles a leading batch dim natively
             y = direct_path.dec_direct(x_pair, self.taps, level)
             return jnp.swapaxes(y, 0, 1)
@@ -477,6 +487,13 @@ class NDDWT:
                     v, self.taps_hp, level, self.preserve_l2
                 )
                 return jnp.stack([f(y_pair[0]), f(y_pair[1])])
+            if path == "fft":
+                f = lambda v: fft_path.rec_fft(
+                    v, self.resp, level, self.preserve_l2, real_out=True
+                )
+                return jnp.stack(
+                    [f(y_pair[0]), f(y_pair[1])]
+                ).astype(self.real_dtype)
             y = jnp.swapaxes(y_pair, 0, 1)  # (B, 2, *shape)
             return direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
 

@@ -219,3 +219,30 @@ def test_batched_complex_and_errors(rng):
     np.testing.assert_allclose(xr, xc, atol=1e-12)
     with pytest.raises(ValueError, match="batch"):
         plan.dec_batched(rng.standard_normal(shape), 2)  # missing batch dim
+
+
+def test_bf16_fft_path_keeps_dtype(rng):
+    """The FFT path computes in c64 (.real is f32); a bf16 plan must still
+    return bf16 arrays (review r2 finding)."""
+    import jax.numpy as jnp
+
+    plan = nw.NDDWT(wavelet="db8", shape=(256,), dtype="bf16", path="fft")
+    x = jnp.asarray(rng.standard_normal(256).astype(np.float32), jnp.bfloat16)
+    y = plan.dec(x, 2, band_axis=0)
+    assert y.dtype == jnp.bfloat16
+    xr = plan.rec(y, band_axis=0)
+    assert xr.dtype == jnp.bfloat16
+
+
+def test_split_honors_fft_path(rng):
+    """dec_split/rec_split run the FFT path per re/im component when the
+    plan requests it (no silent direct-path substitution)."""
+    shape = (16, 14)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    plan = nw.NDDWT(wavelet="db3", shape=shape, dtype="double", path="fft")
+    pair = np.stack([x.real, x.imag])
+    y_split = np.asarray(plan.dec_split(pair, 2))
+    y_c = np.asarray(plan.dec(x, 2, band_axis=0))
+    np.testing.assert_allclose(y_split[0] + 1j * y_split[1], y_c, atol=1e-12)
+    back = np.asarray(plan.rec_split(y_split))
+    np.testing.assert_allclose(back[0] + 1j * back[1], x, atol=1e-12)

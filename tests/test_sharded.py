@@ -80,9 +80,9 @@ def test_validation_errors():
         ShardedNDDWT(plan, mesh, ("x", None))  # 30 not divisible by 8
     with pytest.raises(ValueError):
         ShardedNDDWT(plan, mesh, ("bogus", None))
-    plan2 = nw.NDDWT(wavelet="db4", shape=(32, 16), dtype="double")
+    plan2 = nw.NDDWT(wavelet="db10", shape=(32, 32), dtype="double")
     with pytest.raises(ValueError):
-        # local shard (4) < halo (7)
+        # local shard (4) < per-neighbor halo (K//2 = 10)
         ShardedNDDWT(plan2, mesh, ("x", None))
     with pytest.raises(ValueError):
         ShardedNDDWT(plan, mesh, ("x",))  # wrong spec arity
@@ -225,3 +225,18 @@ def test_sharded_pallas_4d_matches_oracle(shape, wv, spec, mesh_shape, level, rn
     )
     np.testing.assert_allclose(np.asarray(y), gold, atol=1e-4)
     np.testing.assert_allclose(np.asarray(xr), x, atol=1e-4)
+
+
+def test_halo_validation_allows_half_filter_shards(rng):
+    """The XLA halo-exchange body needs only K//2 rows per neighbor; a
+    db4 (K=8) plan over 8 shards of a 32-row axis (local 4 = K//2) must
+    construct and round-trip (previously rejected with a K-1 bound)."""
+    _skip_if_few_devices(8)
+    mesh = make_mesh({"x": 8})
+    plan = nw.NDDWT(wavelet="db4", shape=(32, 16), dtype="double")
+    sh = ShardedNDDWT(plan, mesh, ("x", None), use_pallas=False)
+    x = rng.standard_normal((32, 16))
+    xs = sh.shard_input(jnp.asarray(x))
+    y = sh.dec(xs, 2)
+    xr = np.asarray(sh.rec(y))
+    np.testing.assert_allclose(xr, x, atol=1e-12)
