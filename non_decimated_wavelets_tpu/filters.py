@@ -38,6 +38,7 @@ import numpy as np
 
 __all__ = [
     "daubechies_taps",
+    "symlet_taps",
     "decomposition_filters",
     "correlation_taps",
     "qmf_highpass",
@@ -49,22 +50,36 @@ _LONG = np.longdouble
 _CLONG = np.clongdouble
 
 
-def parse_wavelet_name(name: str) -> int:
-    """'db4' -> 4.  'haar' is an alias for db1 (reference Haar classes)."""
+def _parse_family(name: str):
+    """('db'|'sym', p) from a wavelet name.
+
+    ``dbN`` (extremal phase) covers the reference's whole table
+    (``wave_filters.m:19-156``); ``symN`` (least-asymmetric Daubechies,
+    N >= 2 — sym1 degenerates to db1/haar) is a capability superset: the
+    same orthonormal half-band factorization with the near-linear-phase
+    root selection, the family practical MRI pipelines default to.
+    """
     if not isinstance(name, str):
         raise TypeError(f"Wavelet name must be a string, got {type(name)!r}")
     low = name.strip().lower()
-    if low in ("haar", "db1"):
-        return 1
-    m = re.fullmatch(r"db(\d+)", low)
+    if low in ("haar", "db1", "sym1"):
+        return "db", 1
+    m = re.fullmatch(r"(db|sym)(\d+)", low)
     if m is None:
         raise ValueError(
-            f"Unknown wavelet name {name!r}: expected 'haar' or 'dbN' (N >= 1)"
+            f"Unknown wavelet name {name!r}: expected 'haar', 'dbN' or "
+            "'symN' (N >= 1)"
         )
-    p = int(m.group(1))
+    p = int(m.group(2))
     if p < 1:
         raise ValueError(f"Wavelet order must be >= 1, got {name!r}")
-    return p
+    return m.group(1), p
+
+
+def parse_wavelet_name(name: str) -> int:
+    """'db4' -> 4 (also accepts 'symN'; 'haar' is db1, as in the reference
+    Haar classes). Returns the vanishing-moment order."""
+    return _parse_family(name)[1]
 
 
 def _polish_roots(coeffs: np.ndarray, roots: np.ndarray, iters: int = 60) -> np.ndarray:
@@ -91,27 +106,22 @@ def _polish_roots(coeffs: np.ndarray, roots: np.ndarray, iters: int = 60) -> np.
 
 
 @functools.lru_cache(maxsize=None)
-def _daubechies_taps_long(p: int):
-    """Extremal-phase Daubechies scaling taps, longdouble, sum = sqrt(2)."""
-    if p == 1:
-        s = np.sqrt(_LONG(2))
-        return np.array([1 / s, 1 / s], dtype=_LONG)
+def _halfband_inside_roots(p: int):
+    """The p-1 unit-circle-interior roots of ``z^{p-1} P(y(z))``, polished.
 
-    # Half-band polynomial P(y) = sum_{k<p} C(p-1+k, k) y^k with
-    # y = (2 - z - 1/z)/4;  z^{p-1} P(y(z)) is a degree-2(p-1) polynomial
-    # whose roots pair as (r, 1/r).  Keep |r| < 1 => extremal (minimum) phase.
+    P(y) = sum_{k<p} C(p-1+k, k) y^k with y = (2 - z - 1/z)/4; the
+    degree-2(p-1) polynomial's roots pair as (r, 1/r) and are closed under
+    conjugation. Every orthonormal Daubechies-class filter picks exactly
+    one root of each reciprocal pair; the families differ only in which.
+    """
     k = np.arange(p)
     Pc = np.array([math.comb(p - 1 + kk, kk) for kk in k], dtype=_LONG)
 
-    # Build z^{p-1} * P((2 - z - 1/z)/4) as a polynomial in z (longdouble).
-    # y(z) as Laurent poly: y = (-z + 2 - z^{-1})/4. Represent powers of y
-    # as arrays over z-exponents [-(p-1) .. (p-1)] after final shift.
     n = 2 * p - 1  # number of z-coefficients for degree 2(p-1)
     poly = np.zeros(n, dtype=_LONG)  # index i <-> z^{i}, after shift by p-1
     y1 = np.array([-0.25, 0.5, -0.25], dtype=_LONG)  # z^{-1},z^0,z^{1} of y
     cur = np.array([1.0], dtype=_LONG)  # y^0
     for kk in range(p):
-        # place cur (centered Laurent, length 2kk+1) into poly at center p-1
         off = p - 1 - kk
         poly[off : off + len(cur)] += Pc[kk] * cur
         if kk + 1 < p:
@@ -121,31 +131,97 @@ def _daubechies_taps_long(p: int):
     seed = np.roots(coeffs_high_first.astype(np.float64))
     roots = _polish_roots(coeffs_high_first, seed)
     inside = roots[np.abs(roots) < 1]
-    # Pair sanity: exactly p-1 roots inside the unit circle.
     if len(inside) != p - 1:
         # Fall back to picking the p-1 smallest-magnitude roots.
         inside = roots[np.argsort(np.abs(roots))][: p - 1]
+    return inside
 
-    # q(z) = prod (z - r_i), expanded in longdouble complex.
+
+def _assemble_taps(p: int, chosen_roots) -> np.ndarray:
+    """Scaling taps from a chosen conj-closed root set:
+    ``h(z) = c * ((1+z)/2)^p * prod (z - r_i)``, sum = sqrt(2),
+    oriented with the dominant taps in the first half."""
     q = np.array([1.0], dtype=_CLONG)
-    for r in inside:
+    for r in chosen_roots:
         q = np.convolve(q, np.array([1.0, -r], dtype=_CLONG))
     q = np.real(q).astype(_LONG)
 
-    # h(z) = c * ((1+z)/2)^p * q(z); binomial part in longdouble.
     binom = np.array([1.0], dtype=_LONG)
     for _ in range(p):
         binom = np.convolve(binom, np.array([0.5, 0.5], dtype=_LONG))
     h = np.convolve(binom, q)
     h = h * (np.sqrt(_LONG(2)) / np.sum(h))
-
-    # Orientation: extremal-phase taps start with the small-index large values
-    # (e.g. db2 = [0.483, 0.837, 0.224, -0.129]).  The construction above
-    # yields them largest-first already if the max sits in the first half;
-    # otherwise reverse.
     if np.argmax(np.abs(h)) > len(h) // 2:
         h = h[::-1]
     return h
+
+
+@functools.lru_cache(maxsize=None)
+def _daubechies_taps_long(p: int):
+    """Extremal-phase Daubechies scaling taps, longdouble, sum = sqrt(2):
+    keep every |r| < 1 root (minimum phase)."""
+    if p == 1:
+        s = np.sqrt(_LONG(2))
+        return np.array([1 / s, 1 / s], dtype=_LONG)
+    return _assemble_taps(p, tuple(_halfband_inside_roots(p)))
+
+
+def _phase_nonlinearity(h: np.ndarray) -> float:
+    """Max deviation of the transfer-function phase from its best lin fit
+    over (0, 0.75*pi) — the least-asymmetry selection functional (the
+    lowpass's p-fold zero at pi makes the phase ill-conditioned there, so
+    the window stops short of it)."""
+    hf = np.asarray(h, np.float64)
+    w = np.linspace(0.0, 0.75 * np.pi, 193)[1:]
+    H = np.exp(-1j * np.outer(w, np.arange(len(hf)))) @ hf
+    ph = np.unwrap(np.angle(H))
+    slope = float((ph * w).sum() / (w * w).sum())
+    return float(np.abs(ph - slope * w).max())
+
+
+@functools.lru_cache(maxsize=None)
+def _symlet_taps_long(p: int):
+    """Least-asymmetric Daubechies (symlet) scaling taps, longdouble.
+
+    Same half-band factorization as ``dbN``; instead of taking all
+    interior roots, enumerate the conj-closed flip choices (each real
+    root or conjugate pair may be swapped for its reciprocal partner) and
+    keep the combination minimizing :func:`_phase_nonlinearity`. Root
+    selection conventions differ between libraries by reflection/shift;
+    this one is deterministic and verified by invariants (orthonormality,
+    p vanishing moments, asymmetry < dbN) in ``tests/test_filters.py``.
+    """
+    if p == 1:
+        return _daubechies_taps_long(1)
+    inside = _halfband_inside_roots(p)
+    # Flip units: real roots individually, conjugate pairs together.
+    units = []
+    used = np.zeros(len(inside), bool)
+    for i, r in enumerate(inside):
+        if used[i]:
+            continue
+        used[i] = True
+        if abs(np.imag(r)) < 1e-14:
+            units.append((np.real(r).astype(_LONG) + 0j,))
+        else:
+            # find the conjugate partner
+            j = int(np.argmin(np.abs(inside - np.conj(r)) + used * 1e9))
+            used[j] = True
+            units.append((r, inside[j]))
+    best = None
+    best_measure = None
+    for mask in range(1 << len(units)):
+        chosen = []
+        for u, unit in enumerate(units):
+            if (mask >> u) & 1:
+                chosen.extend(1.0 / np.conj(rr) for rr in unit)
+            else:
+                chosen.extend(unit)
+        h = _assemble_taps(p, tuple(chosen))
+        m = _phase_nonlinearity(h)
+        if best_measure is None or m < best_measure - 1e-12:
+            best, best_measure = h, m
+    return best
 
 
 def daubechies_taps(p: int, dtype=np.float64) -> np.ndarray:
@@ -179,6 +255,19 @@ def qmf_highpass(taps: np.ndarray) -> np.ndarray:
     return u
 
 
+def symlet_taps(p: int, dtype=np.float64) -> np.ndarray:
+    """Least-asymmetric Daubechies-p (symlet) scaling taps (2p taps,
+    sum = sqrt(2)) — capability superset beyond the reference's db table."""
+    return np.asarray(_symlet_taps_long(int(p)), dtype=dtype)
+
+
+def _scaling_taps_long(name: str) -> np.ndarray:
+    family, p = _parse_family(name)
+    if family == "sym":
+        return _symlet_taps_long(p)
+    return _daubechies_taps_long(p)
+
+
 def correlation_taps(name: str, dtype=np.float64):
     """(lo, hi) taps for the spatial-domain circular correlation form.
 
@@ -187,8 +276,7 @@ def correlation_taps(name: str, dtype=np.float64):
     which is numerically identical (to ~1e-16) to the reference's FFT path
     with its half-length phase advance (``Functions/nd_dwt_1D.m:274,288-289``).
     """
-    p = parse_wavelet_name(name)
-    lo = daubechies_taps(p, dtype=np.longdouble)
+    lo = np.asarray(_scaling_taps_long(name), dtype=np.longdouble)
     hi = qmf_highpass(lo)
     return lo.astype(dtype), hi.astype(dtype)
 

@@ -246,3 +246,23 @@ def test_split_honors_fft_path(rng):
     np.testing.assert_allclose(y_split[0] + 1j * y_split[1], y_c, atol=1e-12)
     back = np.asarray(plan.rec_split(y_split))
     np.testing.assert_allclose(back[0] + 1j * back[1], x, atol=1e-12)
+
+
+def test_symlet_engine_roundtrip(rng):
+    """symN plans ride every engine path unchanged (same even-length QMF
+    machinery); tight frame + exact reconstruction, per-axis mixing with
+    db allowed."""
+    shape = (24, 20)
+    x = rng.standard_normal(shape)
+    for wv in ("sym4", ("db2", "sym4")):
+        plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=True,
+                        dtype="double", path="direct")
+        y = plan.dec(x, 2)
+        assert abs(np.linalg.norm(np.asarray(y)) / np.linalg.norm(x) - 1) < 1e-12
+        assert np.max(np.abs(np.asarray(plan.rec(y)) - x)) < 1e-12
+    # fft and direct paths agree for symlets too
+    pf = nw.NDDWT(wavelet="sym4", shape=shape, dtype="double", path="fft")
+    pd = nw.NDDWT(wavelet="sym4", shape=shape, dtype="double", path="direct")
+    np.testing.assert_allclose(
+        np.asarray(pf.dec(x, 2)), np.asarray(pd.dec(x, 2)), atol=1e-12
+    )

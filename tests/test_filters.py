@@ -77,8 +77,9 @@ def test_frequency_response_matches_reference_construction():
 def test_name_parsing_and_errors():
     assert F.parse_wavelet_name("haar") == 1
     assert F.parse_wavelet_name("DB7") == 7
+    assert F.parse_wavelet_name("sym4") == 4  # superset family
     with pytest.raises(ValueError):
-        F.parse_wavelet_name("sym4")
+        F.parse_wavelet_name("coif2")
     with pytest.raises(ValueError):
         F.parse_wavelet_name("db0")
     with pytest.raises(TypeError):
@@ -136,3 +137,58 @@ def test_taps_match_reference_tables():
         assert len(ref) == 2 * p
         got = F.daubechies_taps(p)
         np.testing.assert_allclose(got, ref, atol=2e-15, rtol=0)
+
+
+# ---------------------------------------------------------------------------
+# Symlets (least-asymmetric Daubechies) — capability superset beyond the
+# reference's db table.
+# ---------------------------------------------------------------------------
+from non_decimated_wavelets_tpu.filters import (
+    _phase_nonlinearity,
+    _scaling_taps_long,
+    symlet_taps,
+)
+
+
+@pytest.mark.parametrize("p", [2, 3, 4, 6, 8, 10])
+def test_symlet_invariants(p):
+    h = symlet_taps(p)
+    assert len(h) == 2 * p
+    assert abs(h.sum() - np.sqrt(2)) < 1e-14
+    # Orthonormality: <h, shift_2k h> = delta_k
+    assert abs(np.dot(h, h) - 1.0) < 1e-13
+    for s in range(2, 2 * p, 2):
+        assert abs(np.dot(h[:-s], h[s:])) < 1e-13
+    # p vanishing moments of the quadrature-mirror highpass
+    u = F.qmf_highpass(h.astype(np.longdouble)).astype(np.float64)
+    j = np.arange(2 * p, dtype=np.float64)
+    for m in range(p):
+        assert abs(np.dot(j**m, u)) < 1e-9 * (2 * p) ** m
+
+
+@pytest.mark.parametrize("p", [4, 6, 8])
+def test_symlet_is_less_asymmetric_than_db(p):
+    asym_sym = _phase_nonlinearity(np.asarray(_scaling_taps_long(f"sym{p}"), float))
+    asym_db = _phase_nonlinearity(np.asarray(_scaling_taps_long(f"db{p}"), float))
+    assert asym_sym < 0.5 * asym_db
+
+
+def test_sym4_matches_canonical_taps():
+    """Cross-check against the canonical sym4 filter (PyWavelets'
+    Wavelet('sym4').dec_lo — the de-facto published values), which equals
+    this construction's output reflected (orientation conventions differ
+    between libraries by reflection; the frame is identical)."""
+    canonical_dec_lo = np.array([
+        -0.07576571478927333, -0.02963552764599851, 0.49761866763201545,
+        0.8037387518059161, 0.29785779560527736, -0.09921954357684722,
+        -0.012603967262037833, 0.0322231006040427,
+    ])
+    ours = symlet_taps(4)
+    np.testing.assert_allclose(ours, canonical_dec_lo[::-1], atol=1e-10)
+
+
+def test_sym2_equals_db2_up_to_reflection():
+    s2 = symlet_taps(2)
+    d2 = F.daubechies_taps(2)
+    assert (np.allclose(s2, d2, atol=1e-14)
+            or np.allclose(s2, d2[::-1], atol=1e-14))
