@@ -31,6 +31,7 @@ def _load(name):
         "example_nd_dwt_2D",
         "example_nd_dwt_3D",
         "example_nd_dwt_4D",
+        "example_multicoil",
     ],
 )
 def test_example_runs(name, capsys):
