@@ -265,6 +265,20 @@ def main():
             tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
             log(f"3D {shape} {tag}(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
                 f"{nvox/tp/1e6:.1f} Mvox/s per chip")
+
+        # 4D sharded (the BASELINE config #5 compute path, scaled to 1 chip)
+        shape4 = (32, 32, 16, 16) if FAST else (64, 64, 64, 32)
+        p4s = nw.NDDWT(wavelet="db4", shape=shape4, dtype=jnp.float32)
+        mesh = make_mesh({"x": 1}, jax.devices()[:1])
+        sh4 = ShardedNDDWT(p4s, mesh, ("x", None, None, None),
+                           use_pallas=True)
+        x4 = jax.device_put(
+            jnp.asarray(rng.standard_normal(shape4), jnp.float32), dev
+        )
+        x4s = sh4.shard_input(x4)
+        tp = time_pair(sh4.dec_fn(level), sh4.rec_fn(level), x4s, iters_4d)
+        log(f"4D {shape4} x-sharded(1-dev mesh) db4 L{level} pair: "
+            f"{tp*1e3:.2f} ms -> {np.prod(shape4)/tp/1e6:.1f} Mvox/s per chip")
     except Exception as e:  # pragma: no cover
         log(f"sharded bench failed: {e!r}")
 
