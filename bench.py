@@ -98,7 +98,33 @@ def native_singlecore_pair(shape, wavelet, level):
         cb.set_num_threads(os.cpu_count() or 1)
 
 
+def _wait_for_backend(attempts=5, probe_timeout=300, sleep_s=120):
+    """Ride out transient TPU-tunnel wedges (observed: the remote worker
+    can hang/refuse for ~20-60 min and then self-recover — CLAUDE.md).
+    Probed in a SUBPROCESS because a failed in-process backend init is
+    sticky in jax's xla_bridge."""
+    import subprocess
+    import sys as _sys
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return
+            log(f"backend probe failed (attempt {i + 1}/{attempts})")
+        except subprocess.TimeoutExpired:
+            log(f"backend probe hung (attempt {i + 1}/{attempts})")
+        if i + 1 < attempts:
+            time.sleep(sleep_s)
+    log("backend still unavailable; proceeding (will fail loudly)")
+
+
 def main():
+    _wait_for_backend()
     import jax
 
     jax.config.update("jax_enable_x64", True)  # for the f64 accuracy run
