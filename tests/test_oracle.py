@@ -100,3 +100,32 @@ def test_bad_level():
         oracle.dec(np.zeros(8), "db1", 0)
     with pytest.raises(ValueError):
         oracle.dec(np.zeros((8, 8)), ("db1",), 1)  # wrong wavelet count
+
+
+def test_fuzz_random_configs_vs_oracle():
+    import non_decimated_wavelets_tpu as nw
+
+    """Seeded fuzz: random (ndim, odd/even extents, db/sym wavelet mix,
+    level) configs, direct path vs the NumPy oracle at f64 — broadens the
+    hand-picked edge cases (reference sizes, primes, tiny axes)."""
+    rng = np.random.default_rng(20260817)
+    families = ["db1", "db2", "db3", "db4", "sym4", "db5", "sym3"]
+    for _ in range(12):
+        ndim = int(rng.integers(1, 5))
+        shape, wavelets = [], []
+        for _ in range(ndim):
+            w = families[int(rng.integers(len(families)))]
+            K = 2 * int(w[-1]) if w[-1].isdigit() else 2
+            n = int(rng.integers(max(K, 4), 20))
+            shape.append(n)
+            wavelets.append(w)
+        level = int(rng.integers(1, 4))
+        pl2 = bool(rng.integers(2))
+        x = rng.standard_normal(tuple(shape))
+        plan = nw.NDDWT(wavelet=tuple(wavelets), shape=tuple(shape),
+                        preserve_l2=pl2, dtype="double", path="direct")
+        y = np.asarray(plan.dec(x, level))
+        gold = oracle.dec(x, tuple(wavelets), level, preserve_l2=pl2)
+        np.testing.assert_allclose(y, gold, atol=1e-11)
+        xr = np.asarray(plan.rec(y))
+        np.testing.assert_allclose(xr, x, atol=1e-11)
