@@ -59,3 +59,16 @@ def test_native_via_class_api(rng):
     y = t.dec(x, 2)
     np.testing.assert_allclose(y, oracle.dec(x, "db2", 2), atol=1e-12)
     np.testing.assert_allclose(t.rec(y), x, atol=1e-12)
+
+
+def test_native_symlets_match_oracle(rng):
+    """The C++ backend is filter-agnostic (taps computed host-side): the
+    symlet superset rides it unchanged."""
+    from non_decimated_wavelets_tpu.native import cpu_backend as cb
+
+    if not cb.available():
+        pytest.skip("native backend not built")
+    x = rng.standard_normal((20, 16))
+    y = cb.dec(x, "sym4", 2, False)
+    np.testing.assert_allclose(y, oracle.dec(x, "sym4", 2), atol=1e-12)
+    np.testing.assert_allclose(cb.rec(y, "sym4", False), x, atol=1e-12)
