@@ -126,6 +126,8 @@ def main():
                     "voxels_per_sec": nvox / dt,
                     "voxels_per_sec_per_chip": nvox / dt / n_chips,
                     "iters": args.iters,
+                    "processes": jax.process_count(),
+                    "devices": n_chips,
                     "max_abs_roundtrip_err_1pair": err1,
                     "max_abs_roundtrip_err_accumulated": err,
                 }
