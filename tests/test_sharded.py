@@ -240,3 +240,55 @@ def test_halo_validation_allows_half_filter_shards(rng):
     y = sh.dec(xs, 2)
     xr = np.asarray(sh.rec(y))
     np.testing.assert_allclose(xr, x, atol=1e-12)
+
+# --------------------------------------------------------------------------
+# Sharded split-complex: complex volumes on the multi-chip path (the
+# reference handles complex natively, Functions/nd_dwt_3D.m:150-154; on the
+# complex-less TPU backend the pair axis leads, unsharded).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "shape,wv,spec,mesh_shape,level,use_pallas",
+    [
+        ((32, 16), "db2", ("x", None), {"x": 4}, 2, False),
+        ((64, 256), "db4", ("x", None), {"x": 4}, 2, True),
+        ((32, 32, 128), ("db2", "db3", "db4"), ("x", "y", None),
+         {"x": 2, "y": 2}, 2, True),
+    ],
+)
+def test_sharded_split_complex_matches_oracle(shape, wv, spec, mesh_shape,
+                                              level, use_pallas, rng):
+    _skip_if_few_devices(int(np.prod(list(mesh_shape.values()))))
+    mesh = make_mesh(mesh_shape)
+    dt = jnp.float32 if use_pallas else "double"
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=dt)
+    sh = ShardedNDDWT(plan, mesh, spec, use_pallas=use_pallas)
+    xc = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    pair = np.stack([xc.real, xc.imag]).astype(np.asarray(jnp.zeros(0, dt)).dtype)
+    ps = sh.shard_input_split(jnp.asarray(pair))
+    if use_pallas:
+        from jax.experimental.pallas import tpu as pltpu
+
+        with pltpu.force_tpu_interpret_mode():
+            y = sh.dec_split(ps, level)
+            xr = sh.rec_split(y)
+    else:
+        y = sh.dec_split(ps, level)
+        xr = sh.rec_split(y)
+    gold = np.moveaxis(oracle.dec(xc, wv, level), -1, 0)
+    tol = 1e-4 if use_pallas else 1e-12
+    assert y.shape == (2, plan.num_bands(level)) + shape
+    np.testing.assert_allclose(np.asarray(y[0]), gold.real, atol=tol)
+    np.testing.assert_allclose(np.asarray(y[1]), gold.imag, atol=tol)
+    np.testing.assert_allclose(np.asarray(xr[0]), xc.real, atol=tol)
+    np.testing.assert_allclose(np.asarray(xr[1]), xc.imag, atol=tol)
+
+
+def test_sharded_split_rejects_batch_spec():
+    _skip_if_few_devices(8)
+    mesh = make_mesh({"data": 2, "x": 4})
+    plan = nw.NDDWT(wavelet="db2", shape=(32, 16), dtype="double")
+    sh = ShardedNDDWT(plan, mesh, ("x", None), batch_spec=("data",))
+    with pytest.raises(ValueError, match="batch"):
+        sh.dec_split_fn(2)
