@@ -320,6 +320,62 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"{tag} failed: {e!r}")
 
+    # Multi-iterate kernels: N dec->shrink->rec sweeps inside ONE launch
+    # (plan.dec_rec_n) — the per-launch tunnel latency (~1.5 ms) is paid
+    # once per CHAIN instead of once per sweep, so small-shape iterative
+    # cost approaches pure compute+DMA.
+    for cfg_shape, cfg_wav, cfg_level, n_sweeps, tag in [
+        ((1024,), "db4", 3, 10 if FAST else 100, "1D db4 L3 chain"),
+        ((264, 264), "db2", 2, 5 if FAST else 50, "2D 264^2 db2 L2 chain"),
+    ]:
+        try:
+            p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape, dtype=jnp.float32)
+            xi = jax.device_put(
+                jnp.asarray(rng.standard_normal(cfg_shape), jnp.float32), dev
+            )
+            lams = (1e-3,) * n_sweeps
+            run_n = jax.jit(
+                lambda v, p=p, L=cfg_level, lams=lams: p.dec_rec_n(v, L, lams)
+            )
+            _sync(run_n(xi))  # compile
+            t0 = time.perf_counter()
+            _sync(run_n(xi))
+            tp = (time.perf_counter() - t0) / n_sweeps
+            log(f"{tag} {cfg_shape} x{n_sweeps} one-launch: "
+                f"{tp*1e3:.3f} ms/sweep")
+            _checkpoint(f"{tag} ms_per_sweep", round(tp * 1e3, 3))
+        except Exception as e:  # pragma: no cover
+            log(f"{tag} failed: {e!r}")
+
+    # Whole-solve in-kernel FISTA (flat multi-iterate kernel): the ENTIRE
+    # reconstruction — data term, shrink, momentum, N iterations — is one
+    # kernel launch with the solver state resident in VMEM.
+    try:
+        from non_decimated_wavelets_tpu.models.cs_recon import fista_inpaint
+
+        n_ws = 256
+        ws_iters = 10 if FAST else 100
+        img_ws = rng.standard_normal((n_ws, n_ws)).astype(np.float32)
+        mask_ws = (rng.random((n_ws, n_ws)) < 0.6).astype(np.float32)
+        p_ws = nw.NDDWT(wavelet="db2", shape=(n_ws, n_ws), preserve_l2=True,
+                        dtype=jnp.float32)
+        run_ws = jax.jit(
+            lambda b, m: fista_inpaint(p_ws, b, m, lam=1e-3, level=2,
+                                       iters=ws_iters)
+        )
+        b_ws = jnp.asarray(mask_ws * img_ws)
+        m_ws = jnp.asarray(mask_ws)
+        _sync(run_ws(b_ws, m_ws))
+        t0 = time.perf_counter()
+        _sync(run_ws(b_ws, m_ws))
+        t_ws = time.perf_counter() - t0
+        log(f"FISTA 256^2 db2 L2 whole-solve in-kernel, {ws_iters} iters: "
+            f"{t_ws*1e3:.1f} ms ({t_ws/ws_iters*1e3:.3f} ms/iter)")
+        _checkpoint("FISTA 256^2 in-kernel ms_per_iter",
+                    round(t_ws / ws_iters * 1e3, 3))
+    except Exception as e:  # pragma: no cover
+        log(f"whole-solve FISTA failed: {e!r}")
+
     # 4D configs: Haar L1 (BASELINE config #4) and db4 L3 (the 4D row of
     # the BASELINE metric) on the two-stage lane-flatten Pallas kernels.
     for cfg_shape, cfg_wav, cfg_level, tag in [

@@ -1,5 +1,5 @@
 from .denoise import denoise, soft_threshold, hard_threshold
-from .cs_recon import fista_cs_mri, fista_inpaint, ista_step
+from .cs_recon import fista_cs_mri, fista_inpaint, fista_inpaint_split, ista_step
 
 __all__ = [
     "denoise",
@@ -7,5 +7,6 @@ __all__ = [
     "hard_threshold",
     "fista_cs_mri",
     "fista_inpaint",
+    "fista_inpaint_split",
     "ista_step",
 ]

@@ -281,7 +281,8 @@ def _n_slab_ops(slab_axes):
 
 
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
-                     padded=None, approx_to_big=False, slab_axes=()):
+                     padded=None, approx_to_big=False, slab_axes=(),
+                     lam=0.0):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -291,7 +292,12 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     ``approx_to_big``: final level — the approximation is DMA'd into band 0
     of the aliased multilevel output instead of a separate blocked output
     (kills the trailing ``big.at[0].set`` XLA copy, a full-array pass at
-    XLA's ~55 GB/s on this device)."""
+    XLA's ~55 GB/s on this device).
+    ``lam``: soft-threshold applied to the detail bands in-register before
+    the staged write — the shrink of an iterative prox step fused into the
+    analysis (each level's details are final, so one application per band);
+    the XLA equivalent is a separate full-band-array read+write pass at
+    ~55 GB/s."""
     nb = 2**ndim
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
@@ -346,6 +352,13 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                 new_lo.append(lo)
                 new_hi.append(hi)
             vals = new_lo + new_hi  # newest axis bit = MSB: identity order
+        if lam:
+            for b in range(1, nb):
+                v = vals[b]
+                mag = jnp.abs(v)
+                vals[b] = v * (
+                    jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)
+                )
         if not approx_to_big:
             app_ref[...] = vals[0].astype(app_ref.dtype)
         # Detail bands go straight into the full multilevel output array
@@ -406,7 +419,7 @@ def _dec_tiles(shape, taps_np):
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
-                     approx_to_big=False, slab_axes=(), slabs=()):
+                     approx_to_big=False, slab_axes=(), slabs=(), lam=0.0):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
@@ -453,7 +466,7 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     operands = (x,) + tuple(slabs)
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
-                         approx_to_big, tuple(slab_axes)),
+                         approx_to_big, tuple(slab_axes), lam=lam),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
@@ -468,7 +481,7 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     )(*operands, big)
 
 
-def dec_pallas(x, taps, level: int):
+def dec_pallas(x, taps, level: int, lam: float = 0.0):
     """Multilevel analysis via the fused level kernel; returns (B, *s).
 
     Per level one pallas_call reads the running approximation once (wrap
@@ -489,6 +502,9 @@ def dec_pallas(x, taps, level: int):
     from jax.custom_derivatives import linear_call
 
     taps_np = tuple(np.asarray(t) for t in taps)
+    if lam:
+        # The shrink makes the map non-linear — no linear_call adjoint.
+        return _dec_dispatch(x, taps_np, level, lam=float(lam))
     return linear_call(
         lambda _, v: _dec_dispatch(v, taps_np, level),
         lambda _, ybar: _rec_dispatch(ybar, taps_np, level, True),
@@ -496,30 +512,46 @@ def dec_pallas(x, taps, level: int):
     )
 
 
-def _dec_dispatch(x, taps_np, level: int):
+def _shrink_details_xla(y, lam):
+    """Soft-threshold the detail bands of a band-first array (fallback for
+    dispatch branches whose kernels don't fuse the shrink)."""
+    d = y[1:]
+    mag = jnp.abs(d)
+    d = d * (jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)).astype(
+        y.dtype
+    )
+    return jnp.concatenate([y[:1], d], axis=0)
+
+
+def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
     from . import pallas_flat, pallas_resident
 
     if x.ndim == 1 and pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
         # 1D: the natural-layout resident lift is (1, N) — 1/8 sublane
         # utilization; the flat (8, P/8) view measured ~2x faster pairs.
-        return pallas_flat.dec_flat(x, taps_np, level)
+        y = pallas_flat.dec_flat(x, taps_np, level)
+        return _shrink_details_xla(y, lam) if lam else y
     if pallas_resident.resident_supported(x.shape, x.dtype, taps_np):
-        return pallas_resident.dec_resident(x, taps_np, level)
+        y = pallas_resident.dec_resident(x, taps_np, level)
+        return _shrink_details_xla(y, lam) if lam else y
     if x.ndim == 4:
         from . import pallas_4d
 
         if pallas_4d.supported(x.shape, x.dtype, taps_np):
-            return pallas_4d.dec4(x, taps_np, level)
+            y = pallas_4d.dec4(x, taps_np, level)
+            return _shrink_details_xla(y, lam) if lam else y
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         from . import pallas_flat
 
         if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
-            return pallas_flat.dec_flat(x, taps_np, level)
-        # Cast taps to the array dtype: callers may pass full-precision
-        # (f64) taps for the kernels' f32 compute, and under x64 an f64
-        # constant would promote the whole XLA fallback to f64.
-        taps_x = tuple(t.astype(x.dtype) for t in taps_np)
-        return direct_path.dec_direct(x, taps_x, level)
+            y = pallas_flat.dec_flat(x, taps_np, level)
+        else:
+            # Cast taps to the array dtype: callers may pass full-precision
+            # (f64) taps for the kernels' f32 compute, and under x64 an f64
+            # constant would promote the whole XLA fallback to f64.
+            taps_x = tuple(t.astype(x.dtype) for t in taps_np)
+            y = direct_path.dec_direct(x, taps_x, level)
+        return _shrink_details_xla(y, lam) if lam else y
     ndim = x.ndim
     nb = 2**ndim
     B = nb + (nb - 1) * (level - 1)
@@ -530,7 +562,7 @@ def _dec_dispatch(x, taps_np, level: int):
         off -= nb - 1
         final = lvl == level - 1
         out = _fused_dec_level(approx, big, off, taps_np,
-                               approx_to_big=final)
+                               approx_to_big=final, lam=lam)
         if final:
             return out
         big, approx = out

@@ -365,7 +365,20 @@ class NDDWT:
                     y, xr = pallas_flat.pair_flat(
                         x, taps_np, level, self.preserve_l2, float(threshold)
                     )
-        if y is None:
+        if y is None and path == "pallas" and not is_complex and threshold:
+            # Tiled shapes: the shrink rides the dec kernels' band writes
+            # (in-register, zero extra HBM traffic) instead of a separate
+            # XLA detail-band pass at this device's ~55 GB/s.
+            from .ops import pallas_kernels
+
+            with jax.named_scope(f"nddwt.dec_rec.fusedthresh.L{level}"):
+                y = pallas_kernels.dec_pallas(
+                    x, self.taps_hp, level, lam=float(threshold)
+                ).astype(self.real_dtype)
+                xr = pallas_kernels.rec_pallas(
+                    y, self.taps_hp, level, self.preserve_l2
+                ).astype(self.real_dtype)
+        elif y is None:
             y = self.dec(x, level, band_axis=0)
             if threshold:
                 from .models.denoise import soft_threshold
@@ -379,6 +392,80 @@ class NDDWT:
         elif band_axis != 0:
             raise ValueError("band_axis must be 0 or -1")
         return y, xr
+
+    def dec_rec_n(self, x, level: int, thresholds):
+        """N fused ``dec -> soft-threshold -> rec`` sweeps; returns the
+        reconstruction after the last sweep. ``thresholds`` is the
+        per-sweep threshold schedule (one float per sweep).
+
+        On flat-served shapes the WHOLE chain runs in ONE kernel launch
+        (an in-kernel i32 while_loop with the schedule in SMEM): the
+        iterative algorithms the reference was built for (``README.md:2``)
+        otherwise pay the ~1.5 ms per-launch tunnel latency N times —
+        more than the transforms themselves for small arrays."""
+        level = int(level)
+        if level < 1:
+            raise ValueError(f"level must be >= 1, got {level}")
+        thresholds = tuple(float(t) for t in thresholds)
+        if not thresholds:
+            raise ValueError("thresholds must contain at least one sweep")
+        x = jnp.asarray(x)
+        if x.shape != self.shape:
+            raise ValueError(
+                f"input shape {x.shape} does not match plan shape {self.shape}"
+            )
+        if jnp.iscomplexobj(x):
+            raise ValueError(
+                "dec_rec_n is real-only; split complex data and use the "
+                "split entry points"
+            )
+        x = x.astype(self.real_dtype)
+        path = self._resolve_path(is_complex=False)
+        if path == "pallas":
+            from .ops import pallas_flat
+
+            taps_np = tuple(np.asarray(t) for t in self.taps_hp)
+            if pallas_flat.iter_supported(
+                self.shape, self.real_dtype, taps_np, "chain"
+            ):
+                with jax.named_scope(
+                    f"nddwt.dec_rec_n.flat.L{level}x{len(thresholds)}"
+                ):
+                    return pallas_flat.chain_flat(
+                        x, taps_np, level, self.preserve_l2, thresholds
+                    )
+        for lam in thresholds:
+            _, x = self.dec_rec(x, level, threshold=lam, band_axis=0)
+        return x
+
+    def _fista_fused(self, b, mask, level, lams, moms, step, split=False):
+        """Whole-solve fused FISTA (image-domain masked data term) in ONE
+        kernel launch, or ``None`` when the shape/dtype/backend is not
+        served by the flat multi-iterate kernels. Used by
+        ``models.fista_inpaint``/``fista_inpaint_split``."""
+        if self._resolve_path(is_complex=False) != "pallas":
+            return None
+        from .ops import pallas_flat
+
+        taps_np = tuple(np.asarray(t) for t in self.taps_hp)
+        batch = 2 if split else 0
+        if not pallas_flat.iter_supported(
+            self.shape, self.real_dtype, taps_np, "fista", batch=batch
+        ):
+            return None
+        level = int(level)
+        with jax.named_scope(
+            f"nddwt.fista_fused.{'split.' if split else ''}L{level}"
+        ):
+            if split:
+                return pallas_flat.fista_split_flat(
+                    jnp.asarray(b, self.real_dtype), mask, taps_np, level,
+                    self.preserve_l2, lams, moms, step,
+                )
+            return pallas_flat.fista_flat(
+                jnp.asarray(b, self.real_dtype), mask, taps_np, level,
+                self.preserve_l2, lams, moms, step,
+            )
 
     # --------------------------------------------------------------- batched
     def dec_batched(self, x, level: int):

@@ -7,7 +7,13 @@ import numpy as np
 import pytest
 
 import non_decimated_wavelets_tpu as nw
-from non_decimated_wavelets_tpu.models import denoise, fista_cs_mri, soft_threshold
+from non_decimated_wavelets_tpu.models import (
+    denoise,
+    fista_cs_mri,
+    fista_inpaint,
+    fista_inpaint_split,
+    soft_threshold,
+)
 
 
 def test_soft_threshold_complex():
@@ -51,3 +57,53 @@ def test_fista_cs_recovers(rng):
     x = np.real(x)
     zf = np.real(np.fft.ifftn(b, norm="ortho"))  # zero-filled recon
     assert np.linalg.norm(x - img) < 0.2 * np.linalg.norm(zf - img)
+
+
+def test_fista_inpaint_split_matches_complex(rng):
+    """The TPU-safe split-complex FISTA is numerically identical to the
+    complex-arithmetic loop (CPU): real filters + joint-magnitude shrink
+    == complex soft-threshold (the reference's complex contract,
+    Functions/nd_dwt_3D.m:150-154)."""
+    n = 32
+    xc = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    b = mask * xc
+    plan = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                    dtype="double")
+    ref = np.asarray(
+        fista_inpaint(plan, jnp.asarray(b), jnp.asarray(mask), lam=0.02,
+                      level=2, iters=15)
+    )
+    pair = jnp.asarray(np.stack([b.real, b.imag]))
+    out = np.asarray(
+        fista_inpaint_split(plan, pair, jnp.asarray(mask), lam=0.02,
+                            level=2, iters=15)
+    )
+    np.testing.assert_allclose(out[0] + 1j * out[1], ref, atol=1e-12)
+
+
+def test_fista_inpaint_split_sharded_matches_single(rng):
+    """Complex FISTA on the multi-chip path: ShardedNDDWT split transform
+    inside the same loop reproduces the single-device result."""
+    from non_decimated_wavelets_tpu.parallel.sharded import ShardedNDDWT
+    from tests.test_sharded import _skip_if_few_devices, make_mesh
+
+    _skip_if_few_devices(4)
+    n = 32
+    xc = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    b = mask * xc
+    plan = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                    dtype="double")
+    ref = np.asarray(
+        fista_inpaint(plan, jnp.asarray(b), jnp.asarray(mask), lam=0.02,
+                      level=2, iters=10)
+    )
+    mesh = make_mesh({"x": 4})
+    sh = ShardedNDDWT(plan, mesh, ("x", None), use_pallas=False)
+    pair = sh.shard_input_split(jnp.asarray(np.stack([b.real, b.imag])))
+    out = np.asarray(
+        fista_inpaint_split(sh, pair, jnp.asarray(mask), lam=0.02,
+                            level=2, iters=10)
+    )
+    np.testing.assert_allclose(out[0] + 1j * out[1], ref, atol=1e-12)

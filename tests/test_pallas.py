@@ -461,3 +461,159 @@ class TestSplitFlat:
         assert y.shape == (2, plan.num_bands(2)) + shape
         np.testing.assert_allclose(np.asarray(xr), np.asarray(pair),
                                    atol=1e-4)
+
+
+# --------------------------------------------------------------------------
+# Multi-iterate kernels: N dec->shrink->rec sweeps / a whole FISTA solve in
+# ONE launch (VERDICT r2 item 3).
+# --------------------------------------------------------------------------
+
+
+class TestMultiIterate:
+    def test_chain_flat_matches_sequential(self, rng):
+        """chain_flat with a varying threshold schedule == the sequence of
+        explicit dec -> shrink-details -> rec sweeps (direct path)."""
+        from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+
+        shape, level = (22, 30), 2
+        lams = (0.3, 0.12, 0.05)
+        plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32)
+        taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+        assert pallas_flat.iter_supported(shape, jnp.float32, taps_np, "chain")
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            xr = pallas_flat.chain_flat(x, taps_np, level, False, lams)
+        ref = x
+        for lam in lams:
+            y = direct_path.dec_direct(ref, plan.taps, level)
+            y = jnp.concatenate([y[:1], soft_threshold(y[1:], lam)], axis=0)
+            ref = direct_path.rec_direct(y, plan.taps, level, False)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(ref), atol=1e-4)
+
+    def test_plan_dec_rec_n(self, rng):
+        """Public API: one-launch chain == the dec_rec fallback loop."""
+        shape = (16, 20)
+        plan_p = nw.NDDWT(wavelet="db3", shape=shape, dtype=jnp.float32,
+                          path="pallas")
+        plan_d = nw.NDDWT(wavelet="db3", shape=shape, dtype=jnp.float32,
+                          path="direct")
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        lams = [0.2, 0.1]
+        with pltpu.force_tpu_interpret_mode():
+            xr = plan_p.dec_rec_n(x, 2, lams)
+        ref = plan_d.dec_rec_n(x, 2, lams)
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(ref), atol=1e-4)
+        with pytest.raises(ValueError, match="at least one"):
+            plan_d.dec_rec_n(x, 2, [])
+
+    def test_fista_fused_matches_loop(self, rng):
+        """The one-launch in-kernel FISTA solve == the XLA scan loop (same
+        schedule, same data term), to f32 iterative tolerance."""
+        from non_decimated_wavelets_tpu.models import fista_inpaint
+
+        n, lam, iters = 40, 0.05, 12
+        x0 = rng.standard_normal((n, n))
+        mask = (rng.random((n, n)) < 0.6).astype(np.float32)
+        b = jnp.asarray(mask * x0, jnp.float32)
+        maskj = jnp.asarray(mask)
+        plan_p = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                          dtype=jnp.float32, path="pallas")
+        plan_d = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                          dtype=jnp.float32, path="direct")
+        with pltpu.force_tpu_interpret_mode():
+            fast = fista_inpaint(plan_p, b, maskj, lam, level=2, iters=iters)
+        # jnp-scalar lam forces the generic scan loop (no fused path).
+        ref = fista_inpaint(plan_d, b, maskj, jnp.float32(lam), level=2,
+                            iters=iters)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-3)
+
+    def test_fista_fused_split_matches_complex(self, rng):
+        """One-launch split-complex FISTA == the complex-arithmetic loop
+        (CPU oracle): real filters + joint-magnitude shrink."""
+        from non_decimated_wavelets_tpu.models import (
+            fista_inpaint,
+            fista_inpaint_split,
+        )
+
+        n, lam, iters = 32, 0.04, 10
+        xc = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        mask = (rng.random((n, n)) < 0.6).astype(np.float32)
+        b = (mask * xc).astype(np.complex64)
+        plan_p = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                          dtype=jnp.float32, path="pallas")
+        plan_d = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                          dtype=jnp.float32, path="direct")
+        pair = jnp.asarray(np.stack([b.real, b.imag]))
+        with pltpu.force_tpu_interpret_mode():
+            fast = fista_inpaint_split(plan_p, pair, jnp.asarray(mask), lam,
+                                       level=2, iters=iters)
+        ref = fista_inpaint(plan_d, jnp.asarray(b), jnp.asarray(mask),
+                            jnp.float32(lam), level=2, iters=iters)
+        np.testing.assert_allclose(
+            np.asarray(fast[0]) + 1j * np.asarray(fast[1]), np.asarray(ref),
+            atol=2e-3,
+        )
+
+    def test_dec_pallas_lam_fused(self, rng):
+        """Tiled dec with in-kernel shrink == dec + XLA detail shrink."""
+        from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+
+        shape, level, lam = (16, 128), 2, 0.2
+        plan = nw.NDDWT(wavelet="db3", shape=shape, dtype=jnp.float32)
+        taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+        assert pallas_kernels._dec_tiles(shape, taps_np) is not None
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = pallas_kernels.dec_pallas(x, taps_np, level, lam=lam)
+            y0 = pallas_kernels.dec_pallas(x, taps_np, level)
+        ref = jnp.concatenate([y0[:1], soft_threshold(y0[1:], lam)], axis=0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+    def test_fista_step_elemwise(self, rng):
+        """Fused momentum + data-term pass == the XLA formula."""
+        from non_decimated_wavelets_tpu.ops import pallas_elemwise
+
+        shape, mom, step = (8, 128), 0.63, 0.9
+        assert pallas_elemwise.supported(shape, jnp.float32)
+        xn, xp, b = (
+            jnp.asarray(rng.standard_normal(shape), jnp.float32)
+            for _ in range(3)
+        )
+        mask = jnp.asarray(
+            (rng.random(shape) < 0.5).astype(np.float32)
+        )
+        with pltpu.force_tpu_interpret_mode():
+            v = pallas_elemwise.fista_step(
+                xn, xp, mask, b, jnp.float32(mom), step
+            )
+        z = xn + mom * (xn - xp)
+        ref = z - step * (mask * (mask * z - b))
+        np.testing.assert_allclose(np.asarray(v), np.asarray(ref), atol=1e-5)
+
+    def test_fista_stepped_matches_loop(self, rng):
+        """Big-shape FISTA fast path (fused-shrink tiled dec + fused
+        elementwise glue) == the generic scan loop."""
+        from non_decimated_wavelets_tpu.models import fista_inpaint
+        from non_decimated_wavelets_tpu.ops import pallas_flat
+
+        shape, lam, iters = (192, 1024), 0.05, 3
+        taps_np = None
+        # beyond the flat whole-solve budget -> must take the stepped path
+        assert not pallas_flat.iter_supported(
+            shape, jnp.float32, taps_np, "fista"
+        )
+        x0 = rng.standard_normal(shape)
+        mask = (rng.random(shape) < 0.6).astype(np.float32)
+        b = jnp.asarray(mask * x0, jnp.float32)
+        maskj = jnp.asarray(mask)
+        plan_p = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True,
+                          dtype=jnp.float32, path="pallas")
+        plan_d = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True,
+                          dtype=jnp.float32, path="direct")
+        with pltpu.force_tpu_interpret_mode():
+            fast = fista_inpaint(plan_p, b, maskj, lam, level=1, iters=iters)
+        ref = fista_inpaint(plan_d, b, maskj, jnp.float32(lam), level=1,
+                            iters=iters)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-3)
