@@ -51,12 +51,20 @@ def _shrink_details(y, lam):
 def _prox(transform, v, lam, level):
     """``W^T soft(W v, lam)`` (details only). Single-device plans route
     through the fused ``dec_rec`` iterate (one kernel launch on resident
-    shapes); sharded transforms compose dec/shrink/rec."""
+    shapes); sharded transforms use the fused one-region sharded iterate
+    (in-kernel shrink on the Pallas path) when ``lam`` is static."""
+    from ..parallel.sharded import ShardedNDDWT
     from ..plan import NDDWT
 
-    if isinstance(transform, NDDWT) and not hasattr(lam, "shape"):
-        _, xr = transform.dec_rec(v, level, threshold=float(lam), band_axis=0)
-        return xr
+    if not hasattr(lam, "shape"):
+        if isinstance(transform, NDDWT):
+            _, xr = transform.dec_rec(
+                v, level, threshold=float(lam), band_axis=0
+            )
+            return xr
+        if isinstance(transform, ShardedNDDWT):
+            _, xr = transform.dec_rec(v, level, threshold=float(lam))
+            return xr
     y = _dec(transform, v, level)
     y = _shrink_details(y, lam)
     return _rec(transform, y)

@@ -113,6 +113,25 @@ def _lead_tiles(X, Y, zct, K0, K1):
     return None
 
 
+def _lead_kgroup(Zcnt, tiles, zct, K0, K1):
+    """Largest lane-chunk group G (k-chunks staged per band write) whose
+    liveness fits: the dec lead stage is WRITE-bandwidth-bound (~133 GB/s,
+    512B strided runs at zct=128); grouping G adjacent k-chunks per DMA
+    lengthens the contiguous runs to ``G*zct*4`` bytes without touching
+    the (hard-capped, see CLAUDE.md REJECTED) per-chunk zct. Liveness:
+    G-scaled bufs/stage plus 4*G live band values per temp band."""
+    tx, ty = tiles
+    ex0 = tx + K0 - 1
+    ey = ty + 2 * _round8(K1 // 2)
+    for g in (4, 2):
+        if Zcnt % g:
+            continue
+        live = g * (2 * ex0 * ey + 2 * 2 * tx * ty + 4 * tx * ty) * zct
+        if live <= _BUDGET:
+            return g
+    return 1
+
+
 def supported(shape, dtype, taps_np) -> bool:
     if len(shape) != 4:
         return False
@@ -305,7 +324,7 @@ def _lead_halos(K0, K1, adjoint: bool):
 
 
 def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
-                 padded=None, slab_axes=(), slab_refs=None):
+                 padded=None, slab_axes=(), slab_refs=None, kgroup=1):
     """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
     (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
     (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT).
@@ -353,19 +372,22 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
         for cy in per_axis[1]:
             variants = [s[3] for s in (cx, cy) if s[3] is not None]
             ref, cond = _combo_src(variants, src_ref, slab_refs)
+            kidx = (
+                k if kgroup == 1
+                else pl.ds(k * np.int32(kgroup), kgroup)
+            )
             src = (
                 np.int32(band),
                 pl.ds(cx[0], cx[2]),
                 pl.ds(cy[0], cy[2]),
-                k,
+                kidx,
                 slice(None),
             )
             dst = (
                 np.int32(slot),
                 slice(cx[1], cx[1] + cx[2]),
                 slice(cy[1], cy[1] + cy[2]),
-                slice(None),
-            )
+            ) + ((slice(None),) if kgroup > 1 else ()) + (slice(None),)
             cp = pltpu.make_async_copy(ref.at[src], buf_ref.at[dst], sem)
             copies.append(cp if cond is None else _CondCopy(cond, cp))
     return copies
@@ -432,7 +454,7 @@ def _lane_dec_call(x3, taps_np, T, tiles):
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                    shape_xy=None, padded=None, approx_to_big=False,
-                   slab_axes=(), slabs=()):
+                   slab_axes=(), slabs=(), lam=0.0, kgroup=1):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
@@ -441,7 +463,12 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
     ``padded`` (X, Y) axes by the ``_lead_halos`` widths and ``shape_xy``
     is the unpadded output extent. ``approx_to_big``: final level — the
     approximation is DMA'd into band 0 of ``big5`` like a detail (no
-    blocked approx output, no trailing XLA ``at[0].set`` copy)."""
+    blocked approx output, no trailing XLA ``at[0].set`` copy).
+    ``kgroup``: stage G adjacent k-chunks per band DMA (both directions:
+    halo'd loads and detail writes move (..., G, zct) blocks), lengthening
+    the strided runs from ``zct*4`` to ``G*zct*4`` bytes — the write path
+    is DMA-run-length-bound (measured ~133 GB/s at 512B runs vs the
+    ~250 GB/s ceiling; see ``_lead_kgroup``)."""
     _, X, Y, Zcnt, _ = temp5.shape
     if shape_xy is not None:
         X, Y = shape_xy
@@ -455,6 +482,103 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
     start1 = halos[1][0] - (K1 // 2 - 1)
 
     n_slabs = _n_slab_ops(slab_axes)
+    G = int(kgroup)
+
+    def shrink(val, b):
+        if lam and b != 0:
+            # In-register detail shrink (fused prox step — the XLA
+            # equivalent is a separate full-band pass at ~55 GB/s).
+            mag = jnp.abs(val)
+            val = val * (
+                jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)
+            )
+        return val
+
+    def kernel_grouped(temp_hbm, *rest):
+        t_slabs = _slab_ref_dict(slab_axes, rest[:n_slabs])
+        rest = rest[n_slabs:]
+        big_in, big_ref, rest = rest[0], rest[1], rest[2:]
+        if approx_to_big:
+            app_ref = None
+            buf, stage, sem_in, sem_out = rest
+        else:
+            app_ref, buf, stage, sem_in, sem_out = rest
+        del big_in  # aliased to big_ref (input_output_aliases)
+        i, j, k = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+        def load(c, slot):
+            return _halo_copies(
+                temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
+                (tx, ty), halos, i, j, k, slot, padded,
+                slab_axes=slab_axes, slab_refs=t_slabs, kgroup=G,
+            )
+
+        for cp in load(0, 0):
+            cp.start()
+        inflight = [None, None]
+        out_slot = 0
+        for c in range(4):
+            if c + 1 < 4:
+                for cp in load(c + 1, (c + 1) % 2):
+                    cp.start()
+            for cp in load(c, c % 2):
+                cp.wait()
+            # All 4 (ybit, xbit) band tiles for every chunk g of this temp
+            # band, retained so each band's G chunks go out as ONE DMA.
+            vals = [[None] * G for _ in range(4)]
+            for g in range(G):
+                v = _up(buf[np.int32(c % 2), :, :, np.int32(g), :])
+                ylo = yhi = None
+                for jj in range(K1):
+                    r = v[:, start1 + jj : start1 + jj + ty, :]
+                    tl = float(t1[0, jj]) * r
+                    th = float(t1[1, jj]) * r
+                    ylo = tl if ylo is None else ylo + tl
+                    yhi = th if yhi is None else yhi + th
+                for ybit, vy in enumerate((ylo, yhi)):
+                    xlo = xhi = None
+                    for jj in range(K0):
+                        r = vy[jj : jj + tx, :, :]
+                        tl = float(t0[0, jj]) * r
+                        th = float(t0[1, jj]) * r
+                        xlo = tl if xlo is None else xlo + tl
+                        xhi = th if xhi is None else xhi + th
+                    vals[2 * ybit + 0][g] = xlo
+                    vals[2 * ybit + 1][g] = xhi
+            for sub in range(4):
+                b = 4 * c + sub
+                if b == 0 and not approx_to_big:
+                    for g in range(G):
+                        app_ref[
+                            :, :, g * zct : (g + 1) * zct
+                        ] = vals[sub][g].astype(app_ref.dtype)
+                    continue
+                if inflight[out_slot] is not None:
+                    inflight[out_slot].wait()
+                for g in range(G):
+                    stage[
+                        np.int32(out_slot), :, :, np.int32(g), :
+                    ] = shrink(vals[sub][g], b).astype(stage.dtype)
+                out_band = 0 if b == 0 else band_off + b - 1
+                cpy = pltpu.make_async_copy(
+                    stage.at[np.int32(out_slot)],
+                    big_ref.at[
+                        (
+                            np.int32(out_band),
+                            pl.ds(i * np.int32(tx), tx),
+                            pl.ds(j * np.int32(ty), ty),
+                            pl.ds(k * np.int32(G), G),
+                            slice(None),
+                        )
+                    ],
+                    sem_out.at[np.int32(out_slot)],
+                )
+                cpy.start()
+                inflight[out_slot] = cpy
+                out_slot ^= 1
+        for cpy in inflight:
+            if cpy is not None:
+                cpy.wait()
 
     def kernel(temp_hbm, *rest):
         t_slabs = _slab_ref_dict(slab_axes, rest[:n_slabs])
@@ -508,6 +632,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                     xhi = th if xhi is None else xhi + th
                 for xbit, val in enumerate((xlo, xhi)):
                     b = 4 * c + 2 * ybit + xbit
+                    val = shrink(val, b)
                     if b == 0 and not approx_to_big:
                         app_ref[...] = val.astype(app_ref.dtype)
                         continue
@@ -543,7 +668,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
         out_specs = (
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
-                (tx, ty, zct), lambda i, j, k: (i, j, k)
+                (tx, ty, G * zct), lambda i, j, k: (i, j, k)
             ),
         )
         out_shape = (
@@ -551,26 +676,33 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
             jax.ShapeDtypeStruct((X, Y, Zcnt * zct), temp5.dtype),
         )
     operands = (temp5,) + tuple(slabs)
+    if G > 1:
+        buf_shape = (2, ex0, ey, G, zct)
+        stage_shape = (2, tx, ty, G, zct)
+    else:
+        buf_shape = (2, ex0, ey, zct)
+        stage_shape = (2, tx, ty, zct)
     return pl.pallas_call(
-        kernel,
-        grid=(X // tx, Y // ty, Zcnt),
+        kernel_grouped if G > 1 else kernel,
+        grid=(X // tx, Y // ty, Zcnt // G),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={len(operands): 0},
         scratch_shapes=[
-            pltpu.VMEM((2, ex0, ey, zct), temp5.dtype),
-            pltpu.VMEM((2, tx, ty, zct), temp5.dtype),
+            pltpu.VMEM(buf_shape, temp5.dtype),
+            pltpu.VMEM(stage_shape, temp5.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )(*operands, big5)
 
 
-def dec4(x, taps_np, level: int):
+def dec4(x, taps_np, level: int, lam: float = 0.0):
     """Multilevel 4D analysis; (X,Y,Z,T) -> (B, X,Y,Z,T). Two fused
     pallas_calls per level; the only XLA data movement is the final
-    approx-band write."""
+    approx-band write. ``lam``: detail soft-threshold fused into the
+    lead-stage band writes."""
     X, Y, Z, T = x.shape
     L = Z * T
     zc = _chunk(Z, T)
@@ -578,6 +710,8 @@ def dec4(x, taps_np, level: int):
     Zcnt = Z // zc
     lane_t = _lane_tiles(X, Y, L, max(taps_np[2].shape[1], taps_np[3].shape[1]))
     lead_t = _lead_tiles(X, Y, zct, taps_np[0].shape[1], taps_np[1].shape[1])
+    kg = _lead_kgroup(Zcnt, lead_t, zct, taps_np[0].shape[1],
+                      taps_np[1].shape[1])
     nb = 16
     B = nb + (nb - 1) * (level - 1)
 
@@ -591,7 +725,7 @@ def dec4(x, taps_np, level: int):
             4, X, Y, Zcnt, zct
         )
         out = _lead_dec_call(temp5, big5, off, taps_np, lead_t, zct,
-                             approx_to_big=final)
+                             approx_to_big=final, lam=lam, kgroup=kg)
         if final:
             big5 = out
         else:

@@ -538,8 +538,7 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
         from . import pallas_4d
 
         if pallas_4d.supported(x.shape, x.dtype, taps_np):
-            y = pallas_4d.dec4(x, taps_np, level)
-            return _shrink_details_xla(y, lam) if lam else y
+            return pallas_4d.dec4(x, taps_np, level, lam=lam)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         from . import pallas_flat
 

@@ -279,7 +279,7 @@ def _build_slabs(arr, slab_axes, axis_names, halos, lead_off):
     return tuple(slabs)
 
 
-def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
+def _dec_body_pallas(x, taps_np, level, axis_names, local_shape, lam=0.0):
     from ..ops import pallas_kernels as pk
 
     ndim = len(taps_np)
@@ -301,12 +301,13 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape):
             out = pk._fused_dec_level(
                 approx, big, off, taps_np, shape=tuple(local_shape),
                 approx_to_big=final, slab_axes=slab_axes, slabs=slabs,
+                lam=lam,
             )
         else:
             xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
             out = pk._fused_dec_level(
                 xp, big, off, taps_np, shape=tuple(local_shape),
-                padded=padded, approx_to_big=final,
+                padded=padded, approx_to_big=final, lam=lam,
             )
         if final:
             return out
@@ -360,7 +361,7 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
     return acc
 
 
-def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
+def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape, lam=0.0):
     """4D sharded analysis: lane stage local (Z,T unsharded by
     construction), leading stage 'valid'-mode over ppermute'd X/Y halos."""
     from ..ops import pallas_4d as p4
@@ -393,7 +394,7 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
             out = p4._lead_dec_call(
                 temp5, big5, off, taps_np, lead_t, zct,
                 shape_xy=(X, Y), approx_to_big=final,
-                slab_axes=slab_axes, slabs=slabs,
+                slab_axes=slab_axes, slabs=slabs, lam=lam,
             )
         else:
             if padded[0]:
@@ -405,6 +406,7 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape):
             out = p4._lead_dec_call(
                 temp5, big5, off, taps_np, lead_t, zct,
                 shape_xy=(X, Y), padded=padded, approx_to_big=final,
+                lam=lam,
             )
         if final:
             big5 = out
@@ -689,6 +691,74 @@ class ShardedNDDWT:
     def rec(self, y):
         level = level_from_bands(self.plan.ndim, y.shape[0])
         return self.rec_fn(level)(y)
+
+    # --------------------------------------------------------- fused iterate
+    def dec_rec_fn(self, level: int, threshold: float = 0.0):
+        """Jitted fused sharded iterate: analysis -> soft-threshold(details)
+        -> synthesis in ONE ``shard_map`` region, returning ``(bands, x)``.
+
+        On the Pallas path the shrink rides the dec kernels' band writes
+        (in-register, ``pallas_kernels._make_dec_kernel`` ``lam``) — the
+        sharded counterpart of ``NDDWT.dec_rec``, so a multi-chip FISTA
+        iterate has no separate XLA detail-band pass."""
+        level = int(level)
+        threshold = float(threshold)
+        key = ("pair", level, threshold)
+        if key not in self._dec_cache:
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
+                is4 = self.plan.ndim == 4
+                dec_body = _dec_body_pallas4 if is4 else _dec_body_pallas
+                rec_body = _rec_body_pallas4 if is4 else _rec_body_pallas
+
+                def body(x):
+                    y = dec_body(
+                        x, taps_np=taps_np, level=level,
+                        axis_names=self.spec, local_shape=self._local_shape,
+                        lam=threshold,
+                    )
+                    xr = rec_body(
+                        y, taps_np=taps_np, level=level,
+                        preserve_l2=self.plan.preserve_l2,
+                        axis_names=self.spec, local_shape=self._local_shape,
+                    )
+                    return y, xr
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(self.x_spec,),
+                    out_specs=(self.y_spec, self.x_spec),
+                    check_vma=False,
+                )
+                self._dec_cache[key] = jax.jit(mapped)
+            else:
+
+                def body(x, taps):
+                    y = _dec_body(x, taps, level, self.spec)
+                    if threshold:
+                        d = y[1:]
+                        mag = jnp.abs(d)
+                        d = d * (
+                            jnp.maximum(mag - threshold, 0.0)
+                            / jnp.maximum(mag, 1e-30)
+                        ).astype(y.dtype)
+                        y = jnp.concatenate([y[:1], d], axis=0)
+                    xr = _rec_body(
+                        y, taps, level, self.plan.preserve_l2, self.spec
+                    )
+                    return y, xr
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh,
+                    in_specs=(self.x_spec, P()),
+                    out_specs=(self.y_spec, self.x_spec),
+                )
+                self._dec_cache[key] = jax.jit(
+                    lambda x: mapped(x, self.plan.taps)
+                )
+        return self._dec_cache[key]
+
+    def dec_rec(self, x, level: int, threshold: float = 0.0):
+        return self.dec_rec_fn(level, threshold)(x)
 
     # ---------------------------------------------------------- split-complex
     # Complex data on the complex-less TPU backend rides as a split re/im

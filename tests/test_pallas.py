@@ -617,3 +617,35 @@ class TestMultiIterate:
                             iters=iters)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=2e-3)
+
+    def test_dec4_lam_fused(self, rng):
+        """4D lead-stage in-kernel shrink == dec4 + XLA detail shrink."""
+        from non_decimated_wavelets_tpu.models.denoise import soft_threshold
+        from non_decimated_wavelets_tpu.ops import pallas_4d
+
+        shape, level, lam = (8, 8, 4, 32), 2, 0.15
+        plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32)
+        taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+        assert pallas_4d.supported(shape, jnp.float32, taps_np)
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = pallas_4d.dec4(x, taps_np, level, lam=lam)
+            y0 = pallas_4d.dec4(x, taps_np, level)
+        ref = jnp.concatenate([y0[:1], soft_threshold(y0[1:], lam)], axis=0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
+
+    def test_dec4_kgroup_matches_direct(self, rng):
+        """k-grouped lead-stage writes (G=2 at this shape): same bands."""
+        from non_decimated_wavelets_tpu.ops import pallas_4d
+
+        shape, level = (8, 8, 8, 32), 2
+        plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32)
+        taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+        zc = pallas_4d._chunk(8, 32)
+        lt = pallas_4d._lead_tiles(8, 8, zc * 32, 4, 4)
+        assert pallas_4d._lead_kgroup(8 // zc, lt, zc * 32, 4, 4) > 1
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = pallas_4d.dec4(x, taps_np, level)
+        yd = direct_path.dec_direct(x, plan.taps, level)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-4)

@@ -292,3 +292,85 @@ def test_sharded_split_rejects_batch_spec():
     sh = ShardedNDDWT(plan, mesh, ("x", None), batch_spec=("data",))
     with pytest.raises(ValueError, match="batch"):
         sh.dec_split_fn(2)
+
+
+# --------------------------------------------------------------------------
+# Fused sharded iterate: dec -> shrink -> rec in one shard_map region
+# (in-kernel shrink on the Pallas path).
+# --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("threshold", [0.0, 0.25])
+def test_sharded_dec_rec_xla(threshold, rng):
+    """XLA body: dec_rec == explicit dec + detail-shrink + rec."""
+    _skip_if_few_devices(4)
+    mesh = make_mesh({"x": 4})
+    plan = nw.NDDWT(wavelet="db2", shape=(32, 24), preserve_l2=True,
+                    dtype="double")
+    sh = ShardedNDDWT(plan, mesh, ("x", None), use_pallas=False)
+    x = rng.standard_normal((32, 24))
+    xs = sh.shard_input(jnp.asarray(x))
+    y, xr = sh.dec_rec(xs, 2, threshold=threshold)
+    yref = sh.dec(xs, 2)
+    if threshold:
+        mag = np.abs(np.asarray(yref[1:]))
+        fac = np.maximum(mag - threshold, 0.0) / np.maximum(mag, 1e-30)
+        yref = jnp.concatenate(
+            [yref[:1], yref[1:] * jnp.asarray(fac)], axis=0
+        )
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yref), atol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(xr), np.asarray(sh.rec(yref)), atol=1e-12
+    )
+
+
+def test_sharded_dec_rec_pallas_fused_shrink(rng):
+    """Pallas body (slab 'valid' mode): the in-kernel detail shrink matches
+    the oracle dec + shrink + rec."""
+    _skip_if_few_devices(2)
+    mesh = make_mesh({"x": 2})
+    shape, level, lam = (64, 32, 128), 2, 0.3
+    plan = nw.NDDWT(wavelet="db4", shape=shape, preserve_l2=True,
+                    dtype=jnp.float32)
+    sh = ShardedNDDWT(plan, mesh, ("x", None, None), use_pallas=True)
+    x = rng.standard_normal(shape).astype(np.float32)
+    xs = sh.shard_input(jnp.asarray(x))
+    with pltpu.force_tpu_interpret_mode():
+        y, xr = sh.dec_rec(xs, level, threshold=lam)
+    gold = np.moveaxis(
+        oracle.dec(np.asarray(x, np.float64), "db4", level, preserve_l2=True),
+        -1, 0,
+    )
+    mag = np.abs(gold[1:])
+    gold = np.concatenate(
+        [gold[:1],
+         gold[1:] * (np.maximum(mag - lam, 0.0) / np.maximum(mag, 1e-30))],
+        axis=0,
+    )
+    np.testing.assert_allclose(np.asarray(y), gold, atol=1e-4)
+    xref = oracle.rec(np.moveaxis(gold, 0, -1), "db4", preserve_l2=True)
+    np.testing.assert_allclose(np.asarray(xr), xref, atol=1e-4)
+
+
+def test_fista_inpaint_sharded_fused(rng):
+    """fista_inpaint on a ShardedNDDWT routes through the fused sharded
+    iterate and matches the single-device result."""
+    from non_decimated_wavelets_tpu.models import fista_inpaint
+
+    _skip_if_few_devices(4)
+    n = 32
+    x0 = rng.standard_normal((n, n))
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    b = jnp.asarray(mask * x0)
+    plan = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                    dtype="double")
+    ref = np.asarray(
+        fista_inpaint(plan, b, jnp.asarray(mask), 0.05, level=2, iters=10)
+    )
+    mesh = make_mesh({"x": 4})
+    sh = ShardedNDDWT(plan, mesh, ("x", None), use_pallas=False)
+    out = np.asarray(
+        fista_inpaint(sh, sh.shard_input(b), jnp.asarray(mask), 0.05,
+                      level=2, iters=10)
+    )
+    np.testing.assert_allclose(out, ref, atol=1e-12)
