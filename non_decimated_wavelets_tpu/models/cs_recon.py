@@ -80,7 +80,9 @@ def _prox_split(transform, v_pair, lam, level):
     from ..parallel.sharded import ShardedNDDWT
     from ..plan import NDDWT
 
-    if isinstance(transform, NDDWT) and not hasattr(lam, "shape"):
+    if isinstance(transform, (NDDWT, ShardedNDDWT)) and not hasattr(
+        lam, "shape"
+    ):
         _, xr = transform.dec_rec_split(v_pair, level, threshold=float(lam))
         return xr
     if not isinstance(transform, ShardedNDDWT):

@@ -864,6 +864,81 @@ class ShardedNDDWT:
         level = level_from_bands(self.plan.ndim, y_pair.shape[1])
         return self.rec_split_fn(level)(y_pair)
 
+    def dec_rec_split_fn(self, level: int, threshold: float = 0.0):
+        """Jitted fused sharded split-complex iterate: dec both components,
+        joint re/im magnitude shrink (the prox of the complex l1 norm —
+        the reference's MRI contract, ``Functions/nd_dwt_1D.m:57-61``),
+        rec — all in ONE ``shard_map`` region. The shrink itself is local
+        XLA (it couples the two components, so it cannot ride the
+        per-component dec kernels), but the whole iterate is a single
+        region/dispatch. Returns ``(bands, x_pair)``."""
+        level = int(level)
+        threshold = float(threshold)
+        key = ("splitpair", level, threshold)
+        if key not in self._dec_cache:
+            xs, ys = self._split_specs()
+
+            def mag_shrink(y):
+                if not threshold:
+                    return y
+                mag = jnp.sqrt(y[0, 1:] ** 2 + y[1, 1:] ** 2)
+                fac = (
+                    jnp.maximum(mag - threshold, 0.0)
+                    / jnp.maximum(mag, 1e-30)
+                ).astype(y.dtype)
+                return jnp.concatenate(
+                    [y[:, :1], y[:, 1:] * fac[None]], axis=1
+                )
+
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
+                is4 = self.plan.ndim == 4
+                dec_body = _dec_body_pallas4 if is4 else _dec_body_pallas
+                rec_body = _rec_body_pallas4 if is4 else _rec_body_pallas
+                dec_one = partial(
+                    dec_body, taps_np=taps_np, level=level,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                rec_one = partial(
+                    rec_body, taps_np=taps_np, level=level,
+                    preserve_l2=self.plan.preserve_l2,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+
+                def body(xp):
+                    y = mag_shrink(jnp.stack([dec_one(xp[0]), dec_one(xp[1])]))
+                    xr = jnp.stack([rec_one(y[0]), rec_one(y[1])])
+                    return y, xr
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(xs,),
+                    out_specs=(ys, xs), check_vma=False,
+                )
+                self._dec_cache[key] = jax.jit(mapped)
+            else:
+
+                def body(xp, taps):
+                    y = jnp.moveaxis(_dec_body(xp, taps, level, self.spec),
+                                     1, 0)
+                    y = mag_shrink(y)
+                    xr = _rec_body(
+                        jnp.moveaxis(y, 0, 1), taps, level,
+                        self.plan.preserve_l2, self.spec,
+                    )
+                    return y, xr
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(xs, P()),
+                    out_specs=(ys, xs),
+                )
+                self._dec_cache[key] = jax.jit(
+                    lambda xp: mapped(xp, self.plan.taps)
+                )
+        return self._dec_cache[key]
+
+    def dec_rec_split(self, x_pair, level: int, threshold: float = 0.0):
+        return self.dec_rec_split_fn(level, threshold)(x_pair)
+
     def shard_input_split(self, x_pair):
         """Place a (2, *spatial) split pair: pair axis unsharded, spatial
         axes per ``spec``."""

@@ -374,3 +374,40 @@ def test_fista_inpaint_sharded_fused(rng):
                       level=2, iters=10)
     )
     np.testing.assert_allclose(out, ref, atol=1e-12)
+
+
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_dec_rec_split_matches_complex(use_pallas, rng):
+    """Fused sharded split-complex iterate == complex dec + complex
+    soft-threshold + rec (oracle, f32 tolerance on the Pallas body)."""
+    _skip_if_few_devices(2)
+    mesh = make_mesh({"x": 2})
+    if use_pallas:
+        shape, wv, dt, atol = (32, 16, 128), "db3", jnp.float32, 1e-4
+    else:
+        shape, wv, dt, atol = (32, 24), "db3", "double", 1e-12
+    lam, level = 0.3, 2
+    plan = nw.NDDWT(wavelet=wv, shape=shape, preserve_l2=True, dtype=dt)
+    sh = ShardedNDDWT(plan, mesh, ("x",) + (None,) * (len(shape) - 1),
+                      use_pallas=use_pallas)
+    xc = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    pair = sh.shard_input_split(
+        jnp.asarray(np.stack([xc.real, xc.imag]), plan.real_dtype)
+    )
+    if use_pallas:
+        with pltpu.force_tpu_interpret_mode():
+            y, xr = sh.dec_rec_split(pair, level, threshold=lam)
+    else:
+        y, xr = sh.dec_rec_split(pair, level, threshold=lam)
+    gold = np.moveaxis(
+        oracle.dec(xc, wv, level, preserve_l2=True), -1, 0
+    )
+    mag = np.abs(gold[1:])
+    fac = np.maximum(mag - lam, 0.0) / np.maximum(mag, 1e-30)
+    gold = np.concatenate([gold[:1], gold[1:] * fac], axis=0)
+    got = np.asarray(y[0]) + 1j * np.asarray(y[1])
+    np.testing.assert_allclose(got, gold, atol=atol)
+    xref = oracle.rec(np.moveaxis(gold, 0, -1), wv, preserve_l2=True)
+    np.testing.assert_allclose(
+        np.asarray(xr[0]) + 1j * np.asarray(xr[1]), xref, atol=atol
+    )
