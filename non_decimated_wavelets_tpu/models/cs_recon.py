@@ -73,28 +73,26 @@ def _prox(transform, v, lam, level):
 def _prox_split(transform, v_pair, lam, level):
     """Split-complex prox: ``W^T shrink_mag(W v, lam)`` with the joint
     re/im magnitude shrink (the prox of the *complex* l1 norm — the
-    reference's MRI contract, ``Functions/nd_dwt_1D.m:57-61``).
-    Single-device plans route through the fused ``dec_rec_split`` iterate
-    (one kernel launch on flat-served shapes); sharded transforms compose
-    ``dec_split``/shrink/``rec_split`` on the multi-chip Pallas path."""
+    reference's MRI contract, ``Functions/nd_dwt_1D.m:57-61``). A static
+    ``lam`` routes through the fused ``dec_rec_split`` iterate (one kernel
+    launch on flat-served single-device shapes; one shard_map region on
+    the multi-chip path); a traced ``lam`` composes the split transforms
+    with the shared magnitude shrink."""
     from ..parallel.sharded import ShardedNDDWT
     from ..plan import NDDWT
 
-    if isinstance(transform, (NDDWT, ShardedNDDWT)) and not hasattr(
-        lam, "shape"
-    ):
-        _, xr = transform.dec_rec_split(v_pair, level, threshold=float(lam))
-        return xr
-    if not isinstance(transform, ShardedNDDWT):
+    if not isinstance(transform, (NDDWT, ShardedNDDWT)):
         raise TypeError(
             f"expected NDDWT or ShardedNDDWT, got {type(transform).__name__}"
         )
+    if not hasattr(lam, "shape"):
+        _, xr = transform.dec_rec_split(v_pair, level, threshold=float(lam))
+        return xr
+    # Traced lam: generic composition (works for both transform kinds).
+    from .denoise import soft_threshold_mag_pair
+
     y = transform.dec_split(v_pair, level)  # (2, B, *spatial)
-    mag = jnp.sqrt(y[0, 1:] ** 2 + y[1, 1:] ** 2)
-    fac = (jnp.maximum(mag - lam, 0.0)
-           / jnp.maximum(mag, 1e-30)).astype(y.dtype)
-    y = jnp.concatenate([y[:, :1], y[:, 1:] * fac[None]], axis=1)
-    return transform.rec_split(y)
+    return transform.rec_split(soft_threshold_mag_pair(y, lam))
 
 
 def _fista_schedule(iters, lam, step):
@@ -166,6 +164,11 @@ def _fista_stepped(transform, b, mask, lam, level, moms, step):
     served (the caller falls through to the generic scan loop)."""
     from ..ops import pallas_elemwise
 
+    if jnp.iscomplexobj(b):
+        # Let the generic loop handle (and, on complex-less accelerator
+        # backends, loudly reject via _resolve_path) complex data — a
+        # silent cast here would drop the imaginary part.
+        return None
     if transform._resolve_path(is_complex=False) != "pallas":
         return None
     if not pallas_elemwise.supported(transform.shape, transform.real_dtype):

@@ -13,6 +13,22 @@ import jax
 import jax.numpy as jnp
 
 
+def soft_threshold_mag_pair(y_pair, lam):
+    """Joint re/im magnitude soft-threshold of the detail bands of a
+    split-complex band-first array ``(2, B, *spatial)`` — the prox of the
+    COMPLEX l1 norm, the reference's MRI contract
+    (``Functions/nd_dwt_1D.m:57-61``). The approximation band (band 0)
+    passes through. One home for the three call sites (plan, models,
+    sharded) that must stay numerically identical."""
+    mag = jnp.sqrt(y_pair[0, 1:] ** 2 + y_pair[1, 1:] ** 2)
+    fac = (jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)).astype(
+        y_pair.dtype
+    )
+    return jnp.concatenate(
+        [y_pair[:, :1], y_pair[:, 1:] * fac[None]], axis=1
+    )
+
+
 def soft_threshold(y: jnp.ndarray, lam) -> jnp.ndarray:
     """sign(y) * max(|y| - lam, 0); complex-safe (phase-preserving)."""
     mag = jnp.abs(y)

@@ -41,10 +41,10 @@ def _layout(numel: int):
     if numel % _LANES:
         return None
     R = numel // _LANES
-    for tr in (128, 64, 32, 16, 8, 4, 2, 1):
-        if R % tr == 0:
-            return R, tr
-    return None
+    tr = _MAX_TILE_ROWS
+    while R % tr:
+        tr //= 2
+    return R, tr
 
 
 def supported(shape, dtype) -> bool:

@@ -233,8 +233,10 @@ def _make_shrink(lam, mag_pair_numel, C, flat_idx):
     """Soft-threshold closure; ``lam`` may be a Python float or a traced
     scalar. With ``mag_pair_numel`` the shrink couples the split re/im
     pair through the complex magnitude (the partner component sits
-    ``mag_pair_numel`` flat positions away; padding-tail garbage only ever
-    pairs with padding)."""
+    ``mag_pair_numel`` flat positions away). Positions in the padding
+    tail pair with whatever sits one component-stride below them — their
+    shrunk values are garbage, but every padding lane is discarded at
+    unlift and valid lanes always pair valid-with-valid."""
 
     def shrink(v):
         if isinstance(lam, float) and not lam:

@@ -735,13 +735,9 @@ class ShardedNDDWT:
                 def body(x, taps):
                     y = _dec_body(x, taps, level, self.spec)
                     if threshold:
-                        d = y[1:]
-                        mag = jnp.abs(d)
-                        d = d * (
-                            jnp.maximum(mag - threshold, 0.0)
-                            / jnp.maximum(mag, 1e-30)
-                        ).astype(y.dtype)
-                        y = jnp.concatenate([y[:1], d], axis=0)
+                        from ..ops.pallas_kernels import _shrink_details_xla
+
+                        y = _shrink_details_xla(y, threshold)
                     xr = _rec_body(
                         y, taps, level, self.plan.preserve_l2, self.spec
                     )
@@ -881,14 +877,9 @@ class ShardedNDDWT:
             def mag_shrink(y):
                 if not threshold:
                     return y
-                mag = jnp.sqrt(y[0, 1:] ** 2 + y[1, 1:] ** 2)
-                fac = (
-                    jnp.maximum(mag - threshold, 0.0)
-                    / jnp.maximum(mag, 1e-30)
-                ).astype(y.dtype)
-                return jnp.concatenate(
-                    [y[:, :1], y[:, 1:] * fac[None]], axis=1
-                )
+                from ..models.denoise import soft_threshold_mag_pair
+
+                return soft_threshold_mag_pair(y, threshold)
 
             if self.use_pallas:
                 taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)

@@ -443,6 +443,19 @@ class NDDWT:
         kernel launch, or ``None`` when the shape/dtype/backend is not
         served by the flat multi-iterate kernels. Used by
         ``models.fista_inpaint``/``fista_inpaint_split``."""
+        b = jnp.asarray(b)
+        if jnp.iscomplexobj(b):
+            return None  # generic loop handles/rejects complex loudly
+        want = ((2,) + self.shape) if split else self.shape
+        if b.shape != want:
+            raise ValueError(
+                f"input shape {b.shape} does not match plan shape {want}"
+            )
+        if jnp.asarray(mask).shape != self.shape:
+            raise ValueError(
+                f"mask shape {jnp.asarray(mask).shape} does not match plan "
+                f"shape {self.shape}"
+            )
         if self._resolve_path(is_complex=False) != "pallas":
             return None
         from .ops import pallas_flat
@@ -660,10 +673,9 @@ class NDDWT:
         # Fallback: per-component transforms + joint-magnitude shrink.
         y = self.dec_split(x_pair, level)
         if threshold:
-            mag = jnp.sqrt(y[0, 1:] ** 2 + y[1, 1:] ** 2)
-            fac = (jnp.maximum(mag - threshold, 0.0)
-                   / jnp.maximum(mag, 1e-30)).astype(y.dtype)
-            y = jnp.concatenate([y[:, :1], y[:, 1:] * fac[None]], axis=1)
+            from .models.denoise import soft_threshold_mag_pair
+
+            y = soft_threshold_mag_pair(y, threshold)
         return y, self.rec_split(y)
 
     # ------------------------------------------------------------ convenience

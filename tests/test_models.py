@@ -107,3 +107,51 @@ def test_fista_inpaint_split_sharded_matches_single(rng):
                             level=2, iters=10)
     )
     np.testing.assert_allclose(out[0] + 1j * out[1], ref, atol=1e-12)
+
+
+def test_fista_inpaint_split_traced_lam(rng):
+    """Traced (jnp scalar) lam with a single-device plan must run the
+    generic composition, not raise (review r3 finding 1)."""
+    n = 16
+    xc = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    plan = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                    dtype="double")
+    pair = jnp.asarray(np.stack([(mask * xc).real, (mask * xc).imag]))
+    ref = fista_inpaint_split(plan, pair, jnp.asarray(mask), 0.05,
+                              level=1, iters=4)
+    out = fista_inpaint_split(plan, pair, jnp.asarray(mask),
+                              jnp.float64(0.05), level=1, iters=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
+
+
+def test_fista_fused_rejects_bad_shapes(rng):
+    """The fused fast path validates b/mask shapes like dec_rec does
+    (review r3 finding 3), and declines complex input (finding 2)."""
+    plan = nw.NDDWT(wavelet="db2", shape=(32, 32), dtype=jnp.float32)
+    good = jnp.zeros((32, 32), jnp.float32)
+    with pytest.raises(ValueError, match="does not match plan shape"):
+        plan._fista_fused(jnp.zeros((16, 16), jnp.float32), good, 1,
+                          [0.1], [0.0], 1.0)
+    with pytest.raises(ValueError, match="mask shape"):
+        plan._fista_fused(good, jnp.zeros((16, 16), jnp.float32), 1,
+                          [0.1], [0.0], 1.0)
+    assert plan._fista_fused(
+        jnp.zeros((32, 32), jnp.complex64), good, 1, [0.1], [0.0], 1.0
+    ) is None
+
+
+def test_fista_inpaint_complex_cpu(rng):
+    """Complex b on a CPU plan still runs the (complex-capable) generic
+    loop — the fast paths must not silently cast to real."""
+    n = 16
+    xc = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+    mask = (rng.random((n, n)) < 0.6).astype(np.float64)
+    b = jnp.asarray(mask * xc)
+    plan = nw.NDDWT(wavelet="db2", shape=(n, n), preserve_l2=True,
+                    dtype="double", path="direct")
+    out = fista_inpaint(plan, b, jnp.asarray(mask), 0.05, level=1, iters=4)
+    assert np.iscomplexobj(np.asarray(out))
+    ref = fista_inpaint(plan, b, jnp.asarray(mask), jnp.float64(0.05),
+                        level=1, iters=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-12)
