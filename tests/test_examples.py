@@ -32,6 +32,7 @@ def _load(name):
         "example_nd_dwt_3D",
         "example_nd_dwt_4D",
         "example_multicoil",
+        "example_iterative_shrinkage",
         "example_split_complex_fista",
     ],
 )
