@@ -194,6 +194,68 @@ def _fista_stepped(transform, b, mask, lam, level, moms, step):
     return x
 
 
+def _fista_stepped_split(transform, b_pair, mask, lam, level, moms, step):
+    """Big-shape split-complex FISTA fast path: per-component Pallas
+    transforms + one fused Pallas magnitude-shrink pass (detail bands,
+    both components) + one fused glue pass per iterate — no XLA
+    full-array elementwise anywhere in the loop. ``None`` when not
+    served."""
+    from ..ops import pallas_elemwise
+
+    if jnp.iscomplexobj(b_pair):
+        return None
+    if transform._resolve_path(is_complex=False) != "pallas":
+        return None
+    shape = transform.shape
+    if not pallas_elemwise.supported((2,) + shape, transform.real_dtype):
+        return None
+    nsp = int(np.prod(shape))
+    if nsp % pallas_elemwise._LANES:
+        return None
+    dt = transform.real_dtype
+    b_pair = jnp.asarray(b_pair, dt)
+    mask2 = jnp.broadcast_to(jnp.asarray(mask, dt)[None], (2,) + shape)
+    x0 = mask2 * b_pair
+    v0 = x0 - step * (mask2 * (mask2 * x0 - b_pair))
+    thr = float(lam) * float(step)
+
+    # Per-component dispatchers called directly (no linear_call wrapper:
+    # the solver loop needs no autodiff, and the ordered-io effect of the
+    # wrapped form cannot ride a closed call under lax.scan in the
+    # interpret-mode CI).
+    from ..ops import pallas_kernels as pk
+
+    taps_np = tuple(np.asarray(t) for t in transform.taps_hp)
+
+    def prox(v):
+        y = jnp.stack([
+            pk._dec_dispatch(v[0], taps_np, level),
+            pk._dec_dispatch(v[1], taps_np, level),
+        ])
+        ys = pallas_elemwise.mag_shrink_pair(y, thr)
+        if ys is None:  # pragma: no cover - gated above
+            from .denoise import soft_threshold_mag_pair
+
+            ys = soft_threshold_mag_pair(y, thr)
+        return jnp.stack([
+            pk._rec_dispatch(ys[0], taps_np, level, transform.preserve_l2),
+            pk._rec_dispatch(ys[1], taps_np, level, transform.preserve_l2),
+        ])
+
+    def body(carry, mom):
+        x_prev, v = carry
+        x_new = prox(v)
+        v_next = pallas_elemwise.fista_step(
+            x_new, x_prev, mask2, b_pair, mom, float(step)
+        )
+        return (x_new, v_next), None
+
+    (x, _), _ = jax.lax.scan(
+        body, (x0, v0), jnp.asarray(moms, jnp.float32)
+    )
+    return x
+
+
 def fista_inpaint(transform, b, mask, lam, level=2, iters=20, step=1.0):
     """FISTA for image-domain masked observation (inpainting):
     ``min_x 0.5 ||M ⊙ x - b||^2 + lam ||W x||_1``.
@@ -258,6 +320,10 @@ def fista_inpaint_split(transform, b_pair, mask, lam, level=2, iters=20,
         lams, moms = _fista_schedule(iters, lam, step)
         xr = transform._fista_fused(b_pair, mask, level, lams, moms,
                                     float(step), split=True)
+        if xr is not None:
+            return xr
+        xr = _fista_stepped_split(transform, b_pair, mask, lam, level,
+                                  moms, step)
         if xr is not None:
             return xr
     x = mask[None] * b_pair

@@ -54,6 +54,57 @@ def supported(shape, dtype) -> bool:
     )
 
 
+def mag_shrink_pair(y_pair, lam: float):
+    """Joint re/im magnitude soft-threshold of a split-complex band-first
+    array ``(2, B, *spatial)``, detail bands only — one fused pass (both
+    components read+written once) instead of the XLA magnitude/concat
+    chain. Band 0 (the approximation) passes through, selected in-kernel
+    by flat row index (requires the per-band numel to be a multiple of
+    the flat lane width; the dispatcher falls back otherwise)."""
+    two, B = y_pair.shape[:2]
+    sp = y_pair.shape[2:]
+    numel_b = int(np.prod((B,) + sp))
+    numel_sp = int(np.prod(sp))
+    lay = _layout(numel_b)
+    if lay is None or numel_sp % _LANES:
+        return None
+    R, tr = lay
+    rows0 = numel_sp // _LANES  # rows belonging to the approximation band
+    dt = y_pair.dtype
+
+    def kernel(y0_ref, y1_ref, o0_ref, o1_ref):
+        i = pl.program_id(0)
+        y0 = _up(y0_ref[...])
+        y1 = _up(y1_ref[...])
+        mag = jnp.sqrt(y0 * y0 + y1 * y1)
+        fac = jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)
+        row = (
+            i * np.int32(tr)
+            + jax.lax.broadcasted_iota(jnp.int32, y0.shape, 0)
+        )
+        fac = jnp.where(row < np.int32(rows0), 1.0, fac)
+        o0_ref[...] = (y0 * fac).astype(o0_ref.dtype)
+        o1_ref[...] = (y1 * fac).astype(o1_ref.dtype)
+
+    tile = pl.BlockSpec((tr, _LANES), lambda i: (i, np.int32(0)))
+    o0, o1 = pl.pallas_call(
+        kernel,
+        grid=(R // tr,),
+        in_specs=[tile, tile],
+        out_specs=(tile, tile),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, _LANES), dt),
+            jax.ShapeDtypeStruct((R, _LANES), dt),
+        ),
+    )(
+        y_pair[0].reshape(R, _LANES),
+        y_pair[1].reshape(R, _LANES),
+    )
+    return jnp.stack(
+        [o0.reshape((B,) + sp), o1.reshape((B,) + sp)]
+    )
+
+
 def fista_step(x_new, x_prev, mask, b, mom, step: float):
     """One fused FISTA glue pass: returns ``v = z - step*M(Mz - b)`` with
     ``z = x_new + mom*(x_new - x_prev)``. ``mom`` is a traced scalar (the

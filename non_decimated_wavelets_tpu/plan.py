@@ -371,12 +371,17 @@ class NDDWT:
             # XLA detail-band pass at this device's ~55 GB/s.
             from .ops import pallas_kernels
 
+            taps_np = tuple(np.asarray(t) for t in self.taps_hp)
             with jax.named_scope(f"nddwt.dec_rec.fusedthresh.L{level}"):
-                y = pallas_kernels.dec_pallas(
-                    x, self.taps_hp, level, lam=float(threshold)
+                # Dispatchers called directly: the shrink makes the pair
+                # non-linear anyway, and the linear_call wrapper's
+                # ordered-io effect cannot ride a closed call under
+                # lax.scan in the interpret-mode CI.
+                y = pallas_kernels._dec_dispatch(
+                    x, taps_np, level, lam=float(threshold)
                 ).astype(self.real_dtype)
-                xr = pallas_kernels.rec_pallas(
-                    y, self.taps_hp, level, self.preserve_l2
+                xr = pallas_kernels._rec_dispatch(
+                    y, taps_np, level, self.preserve_l2
                 ).astype(self.real_dtype)
         elif y is None:
             y = self.dec(x, level, band_axis=0)

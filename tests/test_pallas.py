@@ -649,3 +649,47 @@ class TestMultiIterate:
             y = pallas_4d.dec4(x, taps_np, level)
         yd = direct_path.dec_direct(x, plan.taps, level)
         np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-4)
+
+    def test_mag_shrink_pair_elemwise(self, rng):
+        """Fused split-pair magnitude shrink == the shared XLA helper."""
+        from non_decimated_wavelets_tpu.models.denoise import (
+            soft_threshold_mag_pair,
+        )
+        from non_decimated_wavelets_tpu.ops import pallas_elemwise
+
+        B, n, lam = 7, 32, 0.3
+        y = jnp.asarray(rng.standard_normal((2, B, n, n)), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            out = pallas_elemwise.mag_shrink_pair(y, lam)
+        assert out is not None
+        ref = soft_threshold_mag_pair(y, lam)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
+
+    def test_fista_stepped_split_matches_loop(self, rng):
+        """Big-shape split-complex FISTA fast path == the generic loop."""
+        from non_decimated_wavelets_tpu.models import fista_inpaint_split
+        from non_decimated_wavelets_tpu.ops import pallas_flat
+
+        shape, lam, iters = (192, 1024), 0.05, 3
+        assert not pallas_flat.iter_supported(
+            shape, jnp.float32, None, "fista", batch=2
+        )
+        xc = (rng.standard_normal(shape)
+              + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        mask = (rng.random(shape) < 0.6).astype(np.float32)
+        pair = jnp.asarray(
+            np.stack([(mask * xc).real, (mask * xc).imag]), jnp.float32
+        )
+        maskj = jnp.asarray(mask)
+        plan_p = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True,
+                          dtype=jnp.float32, path="pallas")
+        plan_d = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True,
+                          dtype=jnp.float32, path="direct")
+        with pltpu.force_tpu_interpret_mode():
+            fast = fista_inpaint_split(plan_p, pair, maskj, lam, level=1,
+                                       iters=iters)
+        ref = fista_inpaint_split(plan_d, pair, maskj, jnp.float32(lam),
+                                  level=1, iters=iters)
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
+                                   atol=2e-3)
