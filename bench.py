@@ -466,6 +466,28 @@ def main():
         log(f"FISTA inpainting 512^2 db2 L3, {fista_iters} iters: "
             f"{t_fista*1e3:.1f} ms ({t_fista/fista_iters*1e3:.2f} ms/iter)")
         _checkpoint("FISTA ms_per_iter", round(t_fista / fista_iters * 1e3, 3))
+
+        # Split-complex variant (the reference's flagship MRI use on the
+        # complex-less TPU backend): per-component Pallas transforms +
+        # fused magnitude-shrink + fused glue, no XLA elementwise.
+        from non_decimated_wavelets_tpu.models.cs_recon import (
+            fista_inpaint_split,
+        )
+
+        imag = rng.standard_normal((n, n)).astype(np.float32)
+        pair = jnp.asarray(np.stack([mask_np * img, mask_np * imag]))
+        run_s = jax.jit(
+            lambda p, m: fista_inpaint_split(p2, p, m, lam=1e-3, level=3,
+                                             iters=fista_iters)
+        )
+        _sync(run_s(pair, mj))
+        t0 = time.perf_counter()
+        _sync(run_s(pair, mj))
+        t_fs = time.perf_counter() - t0
+        log(f"FISTA split-complex 512^2 db2 L3, {fista_iters} iters: "
+            f"{t_fs*1e3:.1f} ms ({t_fs/fista_iters*1e3:.2f} ms/iter)")
+        _checkpoint("FISTA split ms_per_iter",
+                    round(t_fs / fista_iters * 1e3, 3))
     except Exception as e:  # pragma: no cover
         log(f"FISTA benchmark failed: {e!r}")
 
