@@ -172,12 +172,13 @@ def measure_baseline(wavelet, level):
     return base_vps
 
 
-def _wait_for_backend(attempts=3, probe_timeout=120, sleep_s=60):
-    """Bounded wait for the TPU tunnel (worst case ~8 min — it must fit
+def _wait_for_backend(attempts=6, probe_timeout=120, sleep_s=60):
+    """Bounded wait for the TPU tunnel (worst case ~17 min — it must fit
     well inside the driver's window; r2's ~33-min schedule consumed the
     whole window and delivered nothing, VERDICT r2 item 1). Probed in a
     SUBPROCESS because a failed in-process backend init is sticky in
-    jax's xla_bridge."""
+    jax's xla_bridge. On False the caller must NOT touch jax in-process:
+    a wedged tunnel hangs jax.devices() itself (observed 3+ h)."""
     import subprocess
 
     for i in range(attempts):
@@ -211,7 +212,21 @@ def main():
     base_vps = measure_baseline(wavelet, level)
     _checkpoint("baseline_Mvox_s", round(base_vps / 1e6, 3))
 
-    _wait_for_backend()
+    if not _wait_for_backend():
+        # Proceeding would hang IN-PROCESS on jax.devices() (a wedged
+        # tunnel hangs even device enumeration, observed 3+ h) and the
+        # driver would record nothing — the r2 failure mode. Emit a
+        # parseable record of the outage instead.
+        _headline = {
+            "metric": "voxels/sec/chip, 3-level db4 NDDWT dec+rec, "
+                      "UNMEASURED (TPU tunnel wedged through the whole "
+                      "bench window; see .bench_details.json)",
+            "value": 0.0,
+            "unit": "voxels/sec",
+            "vs_baseline": 0.0,
+        }
+        _emit_headline()
+        return
     import jax
 
     jax.config.update("jax_enable_x64", True)  # for the f64 accuracy run
