@@ -280,9 +280,74 @@ def _n_slab_ops(slab_axes):
     return n + (1 if n == 2 else 0)
 
 
+def _edge_copies(src_ref, edge_refs, sem_edge, shape_sp, tiles, halos,
+                 grid_ids, slab_axes):
+    """Conditional DMAs writing the output tile's shard-boundary rows into
+    per-slab-axis ``edges`` outputs (``[my tail | my head]`` along the
+    axis, the consumer kernel's halo widths). The edges output is the NEXT
+    level's slab source, so the per-level XLA slab build (2 slices of the
+    full array + a concat, ~3 dispatches at 0.2-1 ms each on this device)
+    disappears: at mesh-axis size 1 the edges buffer IS the slab (the
+    periodic neighbor is self); at size > 1 only two tiny ppermutes (+ a
+    slab-sized concat) remain. Only boundary tiles fire; together they
+    cover the whole edges buffer."""
+    n_lead = len(tiles)
+    copies = []
+    cnt = 0
+    for n, ax in enumerate(sorted(slab_axes)):
+        w_l, w_r, _ = halos[ax]
+        n_tiles = shape_sp[ax] // tiles[ax]
+        first = grid_ids[ax] == np.int32(0)
+        last = grid_ids[ax] == np.int32(n_tiles - 1)
+        er = edge_refs[n]
+
+        def _dst(off, e, ax=ax):
+            return tuple(
+                pl.ds(np.int32(off), e) if a == ax
+                else pl.ds(grid_ids[a] * np.int32(tiles[a]), tiles[a])
+                for a in range(n_lead)
+            ) + (slice(None),)
+
+        def _src(s0, e, ax=ax):
+            return tuple(
+                slice(s0, s0 + e) if a == ax else slice(None)
+                for a in range(n_lead)
+            ) + (slice(None),)
+
+        if w_l:
+            cp = pltpu.make_async_copy(
+                src_ref.at[_src(tiles[ax] - w_l, w_l)],
+                er.at[_dst(0, w_l)],
+                sem_edge.at[np.int32(cnt)],
+            )
+            copies.append(_CondCopy(last, cp))
+            cnt += 1
+        if w_r:
+            cp = pltpu.make_async_copy(
+                src_ref.at[_src(0, w_r)],
+                er.at[_dst(w_l, w_r)],
+                sem_edge.at[np.int32(cnt)],
+            )
+            copies.append(_CondCopy(first, cp))
+            cnt += 1
+    return copies
+
+
+def _edge_out(shape, halos, slab_axes, dtype):
+    """(out_specs, out_shapes) for the per-slab-axis edges outputs."""
+    specs, shapes = [], []
+    for ax in sorted(slab_axes):
+        w_l, w_r, _ = halos[ax]
+        eshape = list(shape)
+        eshape[ax] = w_l + w_r
+        specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        shapes.append(jax.ShapeDtypeStruct(tuple(eshape), dtype))
+    return specs, shapes
+
+
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                      padded=None, approx_to_big=False, slab_axes=(),
-                     lam=0.0):
+                     lam=0.0, emit_edges=False):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -303,16 +368,26 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     halos = _dec_halos(ndim, taps_np_tuple)
 
     n_slabs = _n_slab_ops(slab_axes)
+    n_edge = len(slab_axes) if emit_edges else 0
+    assert not (emit_edges and approx_to_big)  # final level emits nothing
 
     def kernel(x_hbm, *rest):
         slab_refs = _slab_ref_dict(slab_axes, rest[:n_slabs])
         rest = rest[n_slabs:]
         big_in, big_ref, rest = rest[0], rest[1], rest[2:]
+        sem_edge = None
         if approx_to_big:
             app_ref = None
+            edge_refs = ()
             buf, stage, sem, sem_out = rest
         else:
-            app_ref, buf, stage, sem, sem_out = rest
+            app_ref = rest[0]
+            edge_refs = rest[1 : 1 + n_edge]
+            rest = rest[1 + n_edge :]
+            if emit_edges:
+                buf, stage, sem, sem_out, sem_edge = rest
+            else:
+                buf, stage, sem, sem_out = rest
         del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
@@ -361,6 +436,14 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                 )
         if not approx_to_big:
             app_ref[...] = vals[0].astype(app_ref.dtype)
+        edge_cps = []
+        if emit_edges:
+            edge_cps = _edge_copies(
+                app_ref, edge_refs, sem_edge, shape_sp, tiles, halos,
+                grid_ids, slab_axes,
+            )
+            for c in edge_cps:
+                c.start()
         # Detail bands go straight into the full multilevel output array
         # (ANY space, aliased input/output) via staged DMAs at the level's
         # static band offset: no XLA band concatenation anywhere in dec.
@@ -385,6 +468,8 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         for c in inflight:
             if c is not None:
                 c.wait()
+        for c in edge_cps:
+            c.wait()
 
     return kernel
 
@@ -419,7 +504,8 @@ def _dec_tiles(shape, taps_np):
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
-                     approx_to_big=False, slab_axes=(), slabs=(), lam=0.0):
+                     approx_to_big=False, slab_axes=(), slabs=(), lam=0.0,
+                     emit_edges=False):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
@@ -430,7 +516,10 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     widths) and ``shape`` is the unpadded output shape.
     ``slab_axes``/``slabs``: slab 'valid' mode — ``x`` stays unpadded and
     the slab axes' periodic neighbors ride in the small slab operands
-    (per-axis slabs then the corner; see ``_seg_copies_one``)."""
+    (per-axis slabs then the corner; see ``_seg_copies_one``).
+    ``emit_edges``: additionally emit one ``[my tail | my head]`` edges
+    output per slab axis (the next level's slab source, see
+    ``_edge_copies``); returns ``(big, approx, *edges)``."""
     if shape is None:
         shape = x.shape
     ndim = len(shape)
@@ -447,37 +536,46 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     ) + (shape[-1],)
 
     B = big.shape[0]
+    scratch = [
+        pltpu.VMEM(buf_tile, x.dtype),
+        pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
+        pltpu.SemaphoreType.DMA,
+        pltpu.SemaphoreType.DMA((2,)),
+    ]
     if approx_to_big:
         out_specs = pl.BlockSpec(memory_space=pl.ANY)
         out_shape = jax.ShapeDtypeStruct((B,) + shape, x.dtype)
     else:
-        out_specs = (
+        out_specs = [
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(
                 tuple(tiles) + (shape[-1],),
                 lambda *gi: gi + (np.int32(0),),
                 memory_space=pltpu.VMEM,
             ),
-        )
-        out_shape = (
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((B,) + shape, x.dtype),
             jax.ShapeDtypeStruct(shape, x.dtype),
-        )
+        ]
+        if emit_edges:
+            e_specs, e_shapes = _edge_out(shape, halos, slab_axes, x.dtype)
+            out_specs += e_specs
+            out_shape += e_shapes
+            scratch.append(pltpu.SemaphoreType.DMA((4,)))
+        out_specs = tuple(out_specs)
+        out_shape = tuple(out_shape)
     operands = (x,) + tuple(slabs)
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
-                         approx_to_big, tuple(slab_axes), lam=lam),
+                         approx_to_big, tuple(slab_axes), lam=lam,
+                         emit_edges=emit_edges and not approx_to_big),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
         out_shape=out_shape,
         input_output_aliases={len(operands): 0},
-        scratch_shapes=[
-            pltpu.VMEM(buf_tile, x.dtype),
-            pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=scratch,
     )(*operands, big)
 
 
@@ -617,7 +715,7 @@ def _rec_halos(ndim, taps_np_tuple):
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
-                     padded=None, slab_axes=()):
+                     padded=None, slab_axes=(), emit_edges=False):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -641,6 +739,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
     halos = _rec_halos(ndim, taps_np_tuple)
 
     n_slabs = _n_slab_ops(slab_axes)
+    n_edge = len(slab_axes) if emit_edges else 0
 
     def kernel(*args):
         args = list(args)
@@ -653,7 +752,13 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
             del args[:n_slabs]
         else:
             a_hbm, a_slabs = None, {}
-        out_ref, bufs, sems = args
+        out_ref = args.pop(0)
+        edge_refs = args[:n_edge]
+        del args[:n_edge]
+        if emit_edges:
+            bufs, sems, sem_edge = args
+        else:
+            bufs, sems = args
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
 
         def seg_copies(b, slot):
@@ -716,18 +821,31 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
         if scale != 1.0:
             acc = acc * scale
         out_ref[...] = acc.astype(out_ref.dtype)
+        if emit_edges:
+            edge_cps = _edge_copies(
+                out_ref, edge_refs, sem_edge, shape_sp, tiles, halos,
+                grid_ids, slab_axes,
+            )
+            for c in edge_cps:
+                c.start()
+            for c in edge_cps:
+                c.wait()
 
     return kernel
 
 
 def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
-                     padded=None, slab_axes=(), y_slabs=(), a_slabs=()):
+                     padded=None, slab_axes=(), y_slabs=(), a_slabs=(),
+                     emit_edges=False):
     """Concat 'valid' mode (``shape``/``padded``): band arrays already
     halo-padded on the ``padded`` leading axes by the ``_rec_halos``
     widths; ``shape`` is the unpadded output shape. Slab 'valid' mode
     (``slab_axes``/``y_slabs``/``a_slabs``): sources stay unpadded and the
     slab axes' neighbors ride in small slab operands (per-axis slabs then
-    the corner; see ``_seg_copies_one``)."""
+    the corner; see ``_seg_copies_one``). ``emit_edges``: additionally
+    emit one ``[my tail | my head]`` edges output per slab axis (the next
+    level's ``a_slabs`` source, see ``_edge_copies``); returns
+    ``(acc, *edges)``."""
     if shape is None:
         shape = y_all.shape[1:]
     ndim = len(shape)
@@ -746,21 +864,29 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     operands = (y_all,) + tuple(y_slabs)
     if approx is not None:
         operands = operands + (approx,) + tuple(a_slabs)
+    out_specs = pl.BlockSpec(
+        tuple(tiles) + (shape[-1],),
+        lambda *gi: gi + (np.int32(0),),
+        memory_space=pltpu.VMEM,
+    )
+    out_shape = jax.ShapeDtypeStruct(shape, y_all.dtype)
+    scratch = [
+        pltpu.VMEM(buf_tile, y_all.dtype),
+        pltpu.SemaphoreType.DMA((3,)),
+    ]
+    if emit_edges:
+        e_specs, e_shapes = _edge_out(shape, halos, slab_axes, y_all.dtype)
+        out_specs = tuple([out_specs] + e_specs)
+        out_shape = tuple([out_shape] + e_shapes)
+        scratch.append(pltpu.SemaphoreType.DMA((4,)))
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale,
-                         padded, tuple(slab_axes)),
+                         padded, tuple(slab_axes), emit_edges=emit_edges),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
-        out_specs=pl.BlockSpec(
-            tuple(tiles) + (shape[-1],),
-            lambda *gi: gi + (np.int32(0),),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(shape, y_all.dtype),
-        scratch_shapes=[
-            pltpu.VMEM(buf_tile, y_all.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
-        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(*operands)
 
 

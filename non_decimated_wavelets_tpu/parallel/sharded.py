@@ -279,6 +279,50 @@ def _build_slabs(arr, slab_axes, axis_names, halos, lead_off):
     return tuple(slabs)
 
 
+def _slab_from_edges(edges, axis, axis_name, w_l, w_r):
+    """Next level's slab from a kernel-emitted edges output
+    (``[my tail | my head]``, see ``pallas_kernels._edge_copies``): at
+    mesh-axis size 1 the edges buffer IS the slab (the periodic neighbor
+    is self — zero XLA ops per level, vs 2 full-array slices + a concat
+    for ``_halo_slab``); at size > 1 the two sides ride two tiny
+    ppermutes + a slab-sized concat (the big array is never sliced)."""
+    size = jax.lax.axis_size(axis_name)
+    if size == 1:
+        return edges
+    fwd, bwd = _ring_perms(size)
+    parts = []
+    if w_l:
+        tail = jax.lax.slice_in_dim(edges, 0, w_l, axis=axis)
+        parts.append(jax.lax.ppermute(tail, axis_name, fwd))
+    if w_r:
+        head = jax.lax.slice_in_dim(edges, w_l, w_l + w_r, axis=axis)
+        parts.append(jax.lax.ppermute(head, axis_name, bwd))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
+def _slabs_from_edges(edges, slab_axes, axis_names, halos, lead_off):
+    """Per-axis slabs (plus the corner for an axis pair) from the
+    kernel-emitted edges outputs — the steady-state counterpart of
+    ``_build_slabs`` once the level kernels emit their own boundary rows.
+    The corner is still the axis-1 slab of the axis-0 slab, but built from
+    the small axis-0 slab buffer rather than the full array."""
+    axes = sorted(slab_axes)
+    slabs = []
+    for n, ax in enumerate(axes):
+        w_l, w_r = halos[ax][0], halos[ax][1]
+        slabs.append(
+            _slab_from_edges(edges[n], lead_off + ax, axis_names[ax],
+                             w_l, w_r)
+        )
+    if len(axes) == 2:
+        ax0, ax1 = axes
+        w_l, w_r = halos[ax1][0], halos[ax1][1]
+        slabs.append(
+            _halo_slab(slabs[0], lead_off + ax1, axis_names[ax1], w_l, w_r)
+        )
+    return tuple(slabs)
+
+
 def _dec_body_pallas(x, taps_np, level, axis_names, local_shape, lam=0.0):
     from ..ops import pallas_kernels as pk
 
@@ -293,16 +337,24 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape, lam=0.0):
     big = jnp.empty((B,) + tuple(local_shape), x.dtype)
     approx = x
     off = B
+    slabs = None
     for lvl in range(level):
         off -= nb - 1
         final = lvl == level - 1
         if slab_axes is not None:
-            slabs = _build_slabs(approx, slab_axes, axis_names, halos, 0)
+            if slabs is None:
+                slabs = _build_slabs(approx, slab_axes, axis_names, halos, 0)
             out = pk._fused_dec_level(
                 approx, big, off, taps_np, shape=tuple(local_shape),
                 approx_to_big=final, slab_axes=slab_axes, slabs=slabs,
-                lam=lam,
+                lam=lam, emit_edges=not final,
             )
+            if not final:
+                big, approx = out[0], out[1]
+                slabs = _slabs_from_edges(
+                    out[2:], slab_axes, axis_names, halos, 0
+                )
+                continue
         else:
             xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
             out = pk._fused_dec_level(
@@ -329,18 +381,23 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
 
     if slab_axes is not None:
         y_slabs = _build_slabs(y, slab_axes, axis_names, halos, 1)
-        acc = pk._fused_rec_level(
+        out = pk._fused_rec_level(
             y, None, band_src, taps_np, scale, shape=tuple(local_shape),
-            slab_axes=slab_axes, y_slabs=y_slabs,
+            slab_axes=slab_axes, y_slabs=y_slabs, emit_edges=level > 1,
         )
+        acc, edges = (out[0], out[1:]) if level > 1 else (out, ())
         pos = nb
-        for _ in range(1, level):
-            a_slabs = _build_slabs(acc, slab_axes, axis_names, halos, 0)
+        for lvl in range(1, level):
+            emit = lvl < level - 1
+            a_slabs = _slabs_from_edges(edges, slab_axes, axis_names,
+                                        halos, 0)
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
-            acc = pk._fused_rec_level(
+            out = pk._fused_rec_level(
                 y, acc, band_src, taps_np, scale, shape=tuple(local_shape),
                 slab_axes=slab_axes, y_slabs=y_slabs, a_slabs=a_slabs,
+                emit_edges=emit,
             )
+            acc, edges = (out[0], out[1:]) if emit else (out, ())
             pos += nb - 1
         return acc
 
