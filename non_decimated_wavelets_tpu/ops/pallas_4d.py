@@ -393,17 +393,87 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
     return copies
 
 
+def _lane_edge_copies(out_ref, edge_refs, sem_edge, XY, tiles, halos, i, j,
+                      slab_axes, has_band):
+    """Conditional DMAs writing the lane-stage output tile's shard-boundary
+    X/Y rows into per-slab-axis edges outputs (``[my tail | my head]`` in
+    the ``(4?, X, Y, L)`` lane view) — the lead stage's slab source, so the
+    4D per-level XLA slab build of the temp/acc arrays disappears (see
+    ``pallas_kernels._edge_copies``). Safe extents: X regions carry the
+    full ty sublane; Y widths are the 8-aligned lead halos."""
+    copies = []
+    cnt = 0
+    lead = (slice(None),) if has_band else ()
+    for n, ax in enumerate(sorted(slab_axes)):
+        w_l, w_r = halos[ax]
+        t = tiles[ax]
+        n_tiles = XY[ax] // t
+        gi = (i, j)[ax]
+        first = gi == np.int32(0)
+        last = gi == np.int32(n_tiles - 1)
+        er = edge_refs[n]
+
+        def _dst(off, e, ax=ax):
+            sp = tuple(
+                pl.ds(np.int32(off), e) if a == ax
+                else pl.ds((i, j)[a] * np.int32(tiles[a]), tiles[a])
+                for a in range(2)
+            )
+            return lead + sp + (slice(None),)
+
+        def _src(s0, e, ax=ax):
+            sp = tuple(
+                slice(s0, s0 + e) if a == ax else slice(None)
+                for a in range(2)
+            )
+            return lead + sp + (slice(None),)
+
+        if w_l:
+            cp = pltpu.make_async_copy(
+                out_ref.at[_src(t - w_l, w_l)],
+                er.at[_dst(0, w_l)],
+                sem_edge.at[np.int32(cnt)],
+            )
+            copies.append(_CondCopy(last, cp))
+            cnt += 1
+        if w_r:
+            cp = pltpu.make_async_copy(
+                out_ref.at[_src(0, w_r)],
+                er.at[_dst(w_l, w_r)],
+                sem_edge.at[np.int32(cnt)],
+            )
+            copies.append(_CondCopy(first, cp))
+            cnt += 1
+    return copies
+
+
+def _lane_edge_out(X, Y, L, halos, slab_axes, dtype, has_band):
+    """(out_specs, out_shapes) for the lane-view edges outputs."""
+    specs, shapes = [], []
+    lead = (4,) if has_band else ()
+    for ax in sorted(slab_axes):
+        w_l, w_r = halos[ax]
+        sp = (w_l + w_r, Y) if ax == 0 else (X, w_l + w_r)
+        specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        shapes.append(jax.ShapeDtypeStruct(lead + sp + (L,), dtype))
+    return specs, shapes
+
+
 # ---------------------------------------------------------------------------
 # Analysis
 # ---------------------------------------------------------------------------
 
 
-def _lane_dec_call(x3, taps_np, T, tiles):
+def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None):
     """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read.
 
     Static path runs the masked (expensive) T-pair ONCE on the input and
     the cheap Z-pairs on its two outputs — ~20% fewer vector ops than the
-    Z-first order, on top of the static-shift win."""
+    Z-first order, on top of the static-shift win.
+
+    ``edge_spec``: ``(slab_axes, lead_halos)`` — additionally emit one
+    ``[my tail | my head]`` edges output per slab axis (the lead stage's
+    slab source, see ``_lane_edge_copies``); returns ``(out, *edges)``."""
     X, Y, L = x3.shape
     Z = L // T
     tx, ty, static = tiles
@@ -411,8 +481,9 @@ def _lane_dec_call(x3, taps_np, T, tiles):
     # SMEM taps in the compute dtype (f32 for bf16 arrays — see _up).
     tdt = _compute_dtype(x3.dtype)
     taps_ops = [jnp.asarray(taps_np[2], tdt), jnp.asarray(taps_np[3], tdt)]
+    slab_axes, halos = edge_spec if edge_spec is not None else ((), None)
 
-    def kernel(x_ref, tz_ref, tt_ref, out_ref):
+    def kernel(x_ref, tz_ref, tt_ref, out_ref, *rest):
         v = _up(x_ref[...])
         od = out_ref.dtype
         if static:
@@ -422,12 +493,40 @@ def _lane_dec_call(x3, taps_np, T, tiles):
                 zlo, zhi = _pair_static(vt, tz_np, Z, T, False, None)
                 out_ref[np.int32(2 * tbit)] = zlo.astype(od)  # c = zbit+2*tbit
                 out_ref[np.int32(2 * tbit + 1)] = zhi.astype(od)
-            return
-        zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
-        for zbit, vz in enumerate((zlo, zhi)):
-            tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
-            out_ref[np.int32(zbit)] = tlo.astype(od)
-            out_ref[np.int32(zbit + 2)] = thi.astype(od)
+        else:
+            zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
+            for zbit, vz in enumerate((zlo, zhi)):
+                tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
+                out_ref[np.int32(zbit)] = tlo.astype(od)
+                out_ref[np.int32(zbit + 2)] = thi.astype(od)
+        if edge_spec is not None:
+            edge_refs, sem_edge = rest[:-1], rest[-1]
+            cps = _lane_edge_copies(
+                out_ref, edge_refs, sem_edge, (X, Y), (tx, ty), halos,
+                pl.program_id(0), pl.program_id(1), slab_axes, True,
+            )
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+
+    out_specs = pl.BlockSpec(
+        (4, tx, ty, L),
+        lambda i, j: (np.int32(0), i, j, np.int32(0)),
+        # Explicit VMEM: the edge DMAs source this blocked output; with the
+        # default space the interpret runtime resolves the DMA source to a
+        # nonexistent 'any' backing buffer (KeyError).
+        memory_space=pltpu.VMEM if edge_spec is not None else None,
+    )
+    out_shape = jax.ShapeDtypeStruct((4, X, Y, L), x3.dtype)
+    scratch = []
+    if edge_spec is not None:
+        e_specs, e_shapes = _lane_edge_out(
+            X, Y, L, halos, slab_axes, x3.dtype, True
+        )
+        out_specs = tuple([out_specs] + e_specs)
+        out_shape = tuple([out_shape] + e_shapes)
+        scratch = [pltpu.SemaphoreType.DMA((4,))]
 
     return pl.pallas_call(
         kernel,
@@ -444,11 +543,9 @@ def _lane_dec_call(x3, taps_np, T, tiles):
             )
             for t in taps_ops
         ],
-        out_specs=pl.BlockSpec(
-            (4, tx, ty, L),
-            lambda i, j: (np.int32(0), i, j, np.int32(0)),
-        ),
-        out_shape=jax.ShapeDtypeStruct((4, X, Y, L), x3.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(x3, *taps_ops)
 
 
@@ -839,13 +936,17 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
     )(*operands)
 
 
-def _lane_adj_call(partial, taps_np, T, tiles, scale):
+def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None):
     """Adjoint lane stage: (4, X, Y, L) -> (X, Y, L); the reference's
     per-level ``1/2^d`` folded into the accumulate.
 
     Static path tree-factors ``sum_c Lane_c^T = sum_t T_t^T [sum_z Z_z^T]``
     so the masked T-adjoint runs twice instead of four times (4 cheap
-    Z-adjoints + 2 T-adjoints vs 4+4 unfactored)."""
+    Z-adjoints + 2 T-adjoints vs 4+4 unfactored).
+
+    ``edge_spec``: ``(slab_axes, lead_adj_halos)`` — additionally emit the
+    ``[my tail | my head]`` edges outputs (the next level's ``a_slabs``
+    source, see ``_lane_edge_copies``); returns ``(acc, *edges)``."""
     _, X, Y, L = partial.shape
     Z = L // T
     tx, ty, static = tiles
@@ -855,8 +956,9 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
         jnp.asarray(taps_np[2], tdt),
         jnp.asarray(taps_np[3], tdt),
     ]
+    slab_axes, halos = edge_spec if edge_spec is not None else ((), None)
 
-    def kernel(p_ref, tz_ref, tt_ref, out_ref):
+    def kernel(p_ref, tz_ref, tt_ref, out_ref, *rest):
         od = out_ref.dtype
         if static:
             lmt = _lane_mod_T((tx, ty, L), T)
@@ -875,16 +977,41 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
             if scale != 1.0:
                 outer = outer * scale
             out_ref[...] = outer.astype(od)
-            return
-        acc = None
-        for c in range(4):
-            v = _up(p_ref[np.int32(c)])
-            vt = _lane_adj(v, tt_ref, (c >> 1) & 1, Z, T, is_t=True)
-            vz = _lane_adj(vt, tz_ref, c & 1, Z, T, is_t=False)
-            acc = vz if acc is None else acc + vz
-        if scale != 1.0:
-            acc = acc * scale
-        out_ref[...] = acc.astype(od)
+        else:
+            acc = None
+            for c in range(4):
+                v = _up(p_ref[np.int32(c)])
+                vt = _lane_adj(v, tt_ref, (c >> 1) & 1, Z, T, is_t=True)
+                vz = _lane_adj(vt, tz_ref, c & 1, Z, T, is_t=False)
+                acc = vz if acc is None else acc + vz
+            if scale != 1.0:
+                acc = acc * scale
+            out_ref[...] = acc.astype(od)
+        if edge_spec is not None:
+            edge_refs, sem_edge = rest[:-1], rest[-1]
+            cps = _lane_edge_copies(
+                out_ref, edge_refs, sem_edge, (X, Y), (tx, ty), halos,
+                pl.program_id(0), pl.program_id(1), slab_axes, False,
+            )
+            for c in cps:
+                c.start()
+            for c in cps:
+                c.wait()
+
+    out_specs = pl.BlockSpec(
+        (tx, ty, L), lambda i, j: (i, j, np.int32(0)),
+        # Explicit VMEM when edge DMAs source this output (see lane dec).
+        memory_space=pltpu.VMEM if edge_spec is not None else None,
+    )
+    out_shape = jax.ShapeDtypeStruct((X, Y, L), partial.dtype)
+    scratch = []
+    if edge_spec is not None:
+        e_specs, e_shapes = _lane_edge_out(
+            X, Y, L, halos, slab_axes, partial.dtype, False
+        )
+        out_specs = tuple([out_specs] + e_specs)
+        out_shape = tuple([out_shape] + e_shapes)
+        scratch = [pltpu.SemaphoreType.DMA((4,))]
 
     return pl.pallas_call(
         kernel,
@@ -903,10 +1030,9 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale):
             )
             for t in taps_ops
         ],
-        out_specs=pl.BlockSpec(
-            (tx, ty, L), lambda i, j: (i, j, np.int32(0))
-        ),
-        out_shape=jax.ShapeDtypeStruct((X, Y, L), partial.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
     )(partial, *taps_ops)
 
 

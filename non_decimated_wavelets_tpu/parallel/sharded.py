@@ -443,17 +443,27 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape, lam=0.0):
     for lvl in range(level):
         off -= nb - 1
         final = lvl == level - 1
-        temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
-            4, X, Y, Zcnt, zct
-        )
         if slab_axes is not None:
-            slabs = _build_slabs(temp5, slab_axes, axis_names, halos, 1)
+            # Lane stage emits the X/Y boundary rows of its own output, so
+            # the per-level slab build costs no slices of the (4,...) temp.
+            lane_out = p4._lane_dec_call(
+                approx, taps_np, T, lane_t, edge_spec=(slab_axes, halos)
+            )
+            temp5 = lane_out[0].reshape(4, X, Y, Zcnt, zct)
+            edges5 = [
+                e.reshape(e.shape[:-1] + (Zcnt, zct)) for e in lane_out[1:]
+            ]
+            slabs = _slabs_from_edges(edges5, slab_axes, axis_names,
+                                      halos, 1)
             out = p4._lead_dec_call(
                 temp5, big5, off, taps_np, lead_t, zct,
                 shape_xy=(X, Y), approx_to_big=final,
                 slab_axes=slab_axes, slabs=slabs, lam=lam,
             )
         else:
+            temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
+                4, X, Y, Zcnt, zct
+            )
             if padded[0]:
                 temp5 = _halo_pad(temp5, 1, axis_names[0],
                                   halos[0][0], halos[0][1])
@@ -501,27 +511,43 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
 
     band_src = [("y", b) for b in range(nb)]
     if slab_axes is not None:
+        # The lane-adjoint stage emits the X/Y boundary rows of each
+        # intermediate acc, so per-level a_slab builds cost no XLA slices.
+        espec = (slab_axes, halos)
         y5 = y.reshape(B, X, Y, Zcnt, zct)
         y_slabs = _build_slabs(y5, slab_axes, axis_names, halos, 1)
         partial = p4._lead_adj_call(
             y5, None, band_src, taps_np, lead_t, zct,
             shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
         )
-        acc = p4._lane_adj_call(
-            partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+        lane_out = p4._lane_adj_call(
+            partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale,
+            edge_spec=espec if level > 1 else None,
+        )
+        acc, edges = (
+            (lane_out[0], lane_out[1:]) if level > 1 else (lane_out, ())
         )
         pos = nb
-        for _ in range(1, level):
+        for lvl in range(1, level):
+            emit = lvl < level - 1
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
             acc5 = acc.reshape(1, X, Y, Zcnt, zct)
-            a_slabs = _build_slabs(acc5, slab_axes, axis_names, halos, 1)
+            edges5 = [
+                e.reshape((1,) + e.shape[:-1] + (Zcnt, zct)) for e in edges
+            ]
+            a_slabs = _slabs_from_edges(edges5, slab_axes, axis_names,
+                                        halos, 1)
             partial = p4._lead_adj_call(
                 y5, acc5, band_src, taps_np, lead_t, zct,
                 shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
                 a_slabs=a_slabs,
             )
-            acc = p4._lane_adj_call(
-                partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale
+            lane_out = p4._lane_adj_call(
+                partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale,
+                edge_spec=espec if emit else None,
+            )
+            acc, edges = (
+                (lane_out[0], lane_out[1:]) if emit else (lane_out, ())
             )
             pos += nb - 1
         return acc.reshape(tuple(local_shape))
