@@ -324,7 +324,8 @@ def _lead_halos(K0, K1, adjoint: bool):
 
 
 def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
-                 padded=None, slab_axes=(), slab_refs=None, kgroup=1):
+                 padded=None, slab_axes=(), slab_refs=None, kgroup=1,
+                 wrap_axes=()):
     """L/C/R wrap-segment copies of one halo'd (X,Y) tile: src
     (Bands, X, Y, Zcnt, ZcT) at band ``band`` (static) and lane chunk ``k``
     (traced scalar, collapsed) -> buf (slots, ex0, ey, ZcT).
@@ -347,9 +348,10 @@ def _halo_copies(src_ref, buf_ref, sem, band, XY, tiles, halos, i, j, k, slot,
         w_l, w_r = halos[ax]
         gi = (i, j)[ax]
         base = gi * np.int32(t)
-        if ax in slab_axes:
+        if ax in slab_axes or ax in wrap_axes:
             per_axis.append(
-                _slab_axis_segs(base, gi, t, N, w_l, w_r, ax == 1, ax)
+                _slab_axis_segs(base, gi, t, N, w_l, w_r, ax == 1, ax,
+                                local_wrap=ax in wrap_axes)
             )
             continue
         if padded is not None and padded[ax]:
@@ -551,7 +553,8 @@ def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None):
 
 def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                    shape_xy=None, padded=None, approx_to_big=False,
-                   slab_axes=(), slabs=(), lam=0.0, kgroup=1):
+                   slab_axes=(), slabs=(), lam=0.0, kgroup=1,
+                   wrap_axes=()):
     """Leading-axes fan-out: temp (4, X, Y, Zcnt, ZcT) -> 15 detail bands
     DMA'd in place into the aliased ``big5`` at ``band_off``, plus the next
     approximation as a lane-blocked output (X, Y, L).
@@ -608,6 +611,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                 temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
                 (tx, ty), halos, i, j, k, slot, padded,
                 slab_axes=slab_axes, slab_refs=t_slabs, kgroup=G,
+                wrap_axes=wrap_axes,
             )
 
         for cp in load(0, 0):
@@ -694,6 +698,7 @@ def _lead_dec_call(temp5, big5, band_off, taps_np, tiles, zct,
                 temp_hbm, buf, sem_in.at[np.int32(slot)], c, (X, Y),
                 (tx, ty), halos, i, j, k, slot, padded,
                 slab_axes=slab_axes, slab_refs=t_slabs,
+                wrap_axes=wrap_axes,
             )
 
         for cp in load(0, 0):
@@ -838,7 +843,7 @@ def dec4(x, taps_np, level: int, lam: float = 0.0):
 
 def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                    shape_xy=None, padded=None, slab_axes=(), y_slabs=(),
-                   a_slabs=()):
+                   a_slabs=(), wrap_axes=()):
     """Adjoint leading stage -> partial (4, X, Y, L) with
     ``partial[c] = sum_a adj(band[4c+a])``.
 
@@ -885,6 +890,7 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                 src, buf, sem_in.at[np.int32(slot)], idx, (X, Y),
                 (tx, ty), halos, i, j, k, slot, padded,
                 slab_axes=slab_axes, slab_refs=refs,
+                wrap_axes=wrap_axes,
             )
 
         for cp in load(0, 0):

@@ -150,31 +150,51 @@ class _CondCopy:
         pl.when(self._cond)(self._copy.wait)
 
 
-def _slab_axis_segs(base, gi, t, N, w_l, w_r, aligned, ax):
+def _slab_axis_segs(base, gi, t, N, w_l, w_r, aligned, ax,
+                    local_wrap=False):
     """Per-axis L/C/R segment list for a slab 'valid' axis: each segment is
     ``(src_start, dst_off, extent, variant)`` where the L/R halo segments
     come in a pair of mutually exclusive variants — ``(ax, "slab", cond)``
     for the shard-boundary tile reading the ppermuted slab, and
     ``(ax, "local", cond)`` for interior tiles reading local rows.
     Shared by ``_seg_copies_one`` and ``pallas_4d._halo_copies`` (the
-    interior-vs-boundary split is the hard-won part — one home)."""
+    interior-vs-boundary split is the hard-won part — one home).
+
+    ``local_wrap``: the mesh axis has size 1, so the periodic neighbor is
+    this shard itself — boundary tiles read the main array at wrapped
+    offsets (variant tag ``"wrap"``) instead of a slab operand, and no
+    slab build/exchange exists at all for the axis. The two-variant
+    conditional structure is kept so the kernel's scalar work (and hence
+    the measured per-chip throughput) matches the multi-device form."""
     n_tiles = N // t
     sC = pl.multiple_of(base, 8) if aligned else base
     first = gi == np.int32(0)
     last = gi == np.int32(n_tiles - 1)
+    tag = "wrap" if local_wrap else "slab"
     segs = []
     if w_l > 0:
+        if local_wrap:
+            sL = jax.lax.rem(base + np.int32(N - w_l), np.int32(N))
+        else:
+            sL = np.int32(0)
         sL_loc = base - np.int32(w_l)
         if aligned:
+            sL = pl.multiple_of(sL, 8) if local_wrap else sL
             sL_loc = pl.multiple_of(sL_loc, 8)
-        segs.append((np.int32(0), 0, w_l, (ax, "slab", first)))
+        segs.append((sL, 0, w_l, (ax, tag, first)))
         segs.append((sL_loc, 0, w_l, (ax, "local", jnp.logical_not(first))))
     segs.append((sC, w_l, t, None))
     if w_r > 0:
+        if local_wrap:
+            sR = jax.lax.rem(base + np.int32(t), np.int32(N))
+            if aligned:
+                sR = pl.multiple_of(sR, 8)
+        else:
+            sR = np.int32(w_l)
         sR_loc = base + np.int32(t)
         if aligned:
             sR_loc = pl.multiple_of(sR_loc, 8)
-        segs.append((np.int32(w_l), w_l + t, w_r, (ax, "slab", last)))
+        segs.append((sR, w_l + t, w_r, (ax, tag, last)))
         segs.append((sR_loc, w_l + t, w_r, (ax, "local",
                                             jnp.logical_not(last))))
     return segs
@@ -194,7 +214,7 @@ def _combo_src(variants, src_ref, slab_refs):
 
 def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
                     band_idx=None, slot=None, padded=None, slab_axes=(),
-                    slab_refs=None):
+                    slab_refs=None, wrap_axes=()):
     """L/C/R wrap-segment DMAs for one halo'd tile (shared dec/rec).
 
     ``padded[ax]`` marks axes whose source array is already halo-padded by
@@ -216,6 +236,10 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
     local rows — selected per grid step with :class:`_CondCopy` pairs.
     Requires ``w <= tile`` on every slab axis (the caller gates; deeper
     halos would span two tiles).
+
+    ``wrap_axes``: slab-eligible axes whose mesh axis has size 1 — their
+    boundary segments read the main array at wrapped offsets (no slab
+    operand exists; see ``_slab_axis_segs``).
     """
     # per axis: list of (src_start, dst_off, extent, variant) with variant
     # None (main array) / (ax, "slab", cond) / (ax, "local", cond).
@@ -226,9 +250,10 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         w_l, w_r, aligned = halos[ax]
         i = grid_ids[ax]
         base = i * np.int32(t)
-        if ax in slab_axes:
+        if ax in slab_axes or ax in wrap_axes:
             per_axis.append(
-                _slab_axis_segs(base, i, t, N, w_l, w_r, aligned, ax)
+                _slab_axis_segs(base, i, t, N, w_l, w_r, aligned, ax,
+                                local_wrap=ax in wrap_axes)
             )
             continue
         if padded is not None and padded[ax]:
@@ -347,7 +372,7 @@ def _edge_out(shape, halos, slab_axes, dtype):
 
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                      padded=None, approx_to_big=False, slab_axes=(),
-                     lam=0.0, emit_edges=False):
+                     lam=0.0, emit_edges=False, wrap_axes=()):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -392,7 +417,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         copies = _seg_copies_one(
             x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded,
-            slab_axes=slab_axes, slab_refs=slab_refs,
+            slab_axes=slab_axes, slab_refs=slab_refs, wrap_axes=wrap_axes,
         )
         for c in copies:
             c.start()
@@ -505,7 +530,7 @@ def _dec_tiles(shape, taps_np):
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
                      approx_to_big=False, slab_axes=(), slabs=(), lam=0.0,
-                     emit_edges=False):
+                     emit_edges=False, wrap_axes=()):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
@@ -569,7 +594,8 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     return pl.pallas_call(
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
                          approx_to_big, tuple(slab_axes), lam=lam,
-                         emit_edges=emit_edges and not approx_to_big),
+                         emit_edges=emit_edges and not approx_to_big,
+                         wrap_axes=tuple(wrap_axes)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
@@ -715,7 +741,8 @@ def _rec_halos(ndim, taps_np_tuple):
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
-                     padded=None, slab_axes=(), emit_edges=False):
+                     padded=None, slab_axes=(), emit_edges=False,
+                     wrap_axes=()):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -770,7 +797,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
                 halos, grid_ids,
                 band_idx=None if kind == "a" else idx,
                 slot=slot, padded=padded, slab_axes=slab_axes,
-                slab_refs=refs,
+                slab_refs=refs, wrap_axes=wrap_axes,
             )
 
         for pre in range(min(NSLOT - 1, nb)):
@@ -836,7 +863,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
 
 def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
                      padded=None, slab_axes=(), y_slabs=(), a_slabs=(),
-                     emit_edges=False):
+                     emit_edges=False, wrap_axes=()):
     """Concat 'valid' mode (``shape``/``padded``): band arrays already
     halo-padded on the ``padded`` leading axes by the ``_rec_halos``
     widths; ``shape`` is the unpadded output shape. Slab 'valid' mode
@@ -881,7 +908,8 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
         scratch.append(pltpu.SemaphoreType.DMA((4,)))
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale,
-                         padded, tuple(slab_axes), emit_edges=emit_edges),
+                         padded, tuple(slab_axes), emit_edges=emit_edges,
+                         wrap_axes=tuple(wrap_axes)),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=out_specs,

@@ -323,6 +323,18 @@ def _slabs_from_edges(edges, slab_axes, axis_names, halos, lead_off):
     return tuple(slabs)
 
 
+def _wrap_split(slab_axes, axis_names):
+    """Partition slab-eligible axes into ``(real, wrap)``: axes whose mesh
+    axis has size 1 take the kernels' local-wrap segment variant (the
+    periodic neighbor is the shard itself — no slab operand, no exchange,
+    zero XLA glue per level), the rest ride ppermuted slab operands."""
+    wrap = tuple(
+        ax for ax in slab_axes if jax.lax.axis_size(axis_names[ax]) == 1
+    )
+    real = tuple(ax for ax in slab_axes if ax not in wrap)
+    return real, wrap
+
+
 def _dec_body_pallas(x, taps_np, level, axis_names, local_shape, lam=0.0):
     from ..ops import pallas_kernels as pk
 
@@ -342,18 +354,23 @@ def _dec_body_pallas(x, taps_np, level, axis_names, local_shape, lam=0.0):
         off -= nb - 1
         final = lvl == level - 1
         if slab_axes is not None:
+            real, wrap = _wrap_split(slab_axes, axis_names)
+            emit = bool(real) and not final
             if slabs is None:
-                slabs = _build_slabs(approx, slab_axes, axis_names, halos, 0)
+                slabs = _build_slabs(approx, real, axis_names, halos, 0)
             out = pk._fused_dec_level(
                 approx, big, off, taps_np, shape=tuple(local_shape),
-                approx_to_big=final, slab_axes=slab_axes, slabs=slabs,
-                lam=lam, emit_edges=not final,
+                approx_to_big=final, slab_axes=real, slabs=slabs,
+                lam=lam, emit_edges=emit, wrap_axes=wrap,
             )
             if not final:
-                big, approx = out[0], out[1]
-                slabs = _slabs_from_edges(
-                    out[2:], slab_axes, axis_names, halos, 0
-                )
+                if emit:
+                    big, approx = out[0], out[1]
+                    slabs = _slabs_from_edges(
+                        out[2:], real, axis_names, halos, 0
+                    )
+                else:
+                    big, approx = out
                 continue
         else:
             xp = _pad_sharded_axes(approx, axis_names, halos, ndim, 0)
@@ -380,22 +397,24 @@ def _rec_body_pallas(y, taps_np, level, preserve_l2, axis_names, local_shape):
     band_src = [("y", b) for b in range(nb)]
 
     if slab_axes is not None:
-        y_slabs = _build_slabs(y, slab_axes, axis_names, halos, 1)
+        real, wrap = _wrap_split(slab_axes, axis_names)
+        y_slabs = _build_slabs(y, real, axis_names, halos, 1)
+        emit = bool(real) and level > 1
         out = pk._fused_rec_level(
             y, None, band_src, taps_np, scale, shape=tuple(local_shape),
-            slab_axes=slab_axes, y_slabs=y_slabs, emit_edges=level > 1,
+            slab_axes=real, y_slabs=y_slabs, emit_edges=emit,
+            wrap_axes=wrap,
         )
-        acc, edges = (out[0], out[1:]) if level > 1 else (out, ())
+        acc, edges = (out[0], out[1:]) if emit else (out, ())
         pos = nb
         for lvl in range(1, level):
-            emit = lvl < level - 1
-            a_slabs = _slabs_from_edges(edges, slab_axes, axis_names,
-                                        halos, 0)
+            emit = bool(real) and lvl < level - 1
+            a_slabs = _slabs_from_edges(edges, real, axis_names, halos, 0)
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
             out = pk._fused_rec_level(
                 y, acc, band_src, taps_np, scale, shape=tuple(local_shape),
-                slab_axes=slab_axes, y_slabs=y_slabs, a_slabs=a_slabs,
-                emit_edges=emit,
+                slab_axes=real, y_slabs=y_slabs, a_slabs=a_slabs,
+                emit_edges=emit, wrap_axes=wrap,
             )
             acc, edges = (out[0], out[1:]) if emit else (out, ())
             pos += nb - 1
@@ -446,19 +465,26 @@ def _dec_body_pallas4(x, taps_np, level, axis_names, local_shape, lam=0.0):
         if slab_axes is not None:
             # Lane stage emits the X/Y boundary rows of its own output, so
             # the per-level slab build costs no slices of the (4,...) temp.
+            real, wrap = _wrap_split(slab_axes, axis_names)
             lane_out = p4._lane_dec_call(
-                approx, taps_np, T, lane_t, edge_spec=(slab_axes, halos)
+                approx, taps_np, T, lane_t,
+                edge_spec=(real, halos) if real else None,
             )
-            temp5 = lane_out[0].reshape(4, X, Y, Zcnt, zct)
-            edges5 = [
-                e.reshape(e.shape[:-1] + (Zcnt, zct)) for e in lane_out[1:]
-            ]
-            slabs = _slabs_from_edges(edges5, slab_axes, axis_names,
-                                      halos, 1)
+            if real:
+                temp5 = lane_out[0].reshape(4, X, Y, Zcnt, zct)
+                edges5 = [
+                    e.reshape(e.shape[:-1] + (Zcnt, zct))
+                    for e in lane_out[1:]
+                ]
+                slabs = _slabs_from_edges(edges5, real, axis_names,
+                                          halos, 1)
+            else:
+                temp5 = lane_out.reshape(4, X, Y, Zcnt, zct)
+                slabs = ()
             out = p4._lead_dec_call(
                 temp5, big5, off, taps_np, lead_t, zct,
                 shape_xy=(X, Y), approx_to_big=final,
-                slab_axes=slab_axes, slabs=slabs, lam=lam,
+                slab_axes=real, slabs=slabs, lam=lam, wrap_axes=wrap,
             )
         else:
             temp5 = p4._lane_dec_call(approx, taps_np, T, lane_t).reshape(
@@ -513,34 +539,34 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
     if slab_axes is not None:
         # The lane-adjoint stage emits the X/Y boundary rows of each
         # intermediate acc, so per-level a_slab builds cost no XLA slices.
-        espec = (slab_axes, halos)
+        real, wrap = _wrap_split(slab_axes, axis_names)
+        espec = (real, halos)
         y5 = y.reshape(B, X, Y, Zcnt, zct)
-        y_slabs = _build_slabs(y5, slab_axes, axis_names, halos, 1)
+        y_slabs = _build_slabs(y5, real, axis_names, halos, 1)
+        emit = bool(real) and level > 1
         partial = p4._lead_adj_call(
             y5, None, band_src, taps_np, lead_t, zct,
-            shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
+            shape_xy=(X, Y), slab_axes=real, y_slabs=y_slabs,
+            wrap_axes=wrap,
         )
         lane_out = p4._lane_adj_call(
             partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale,
-            edge_spec=espec if level > 1 else None,
+            edge_spec=espec if emit else None,
         )
-        acc, edges = (
-            (lane_out[0], lane_out[1:]) if level > 1 else (lane_out, ())
-        )
+        acc, edges = (lane_out[0], lane_out[1:]) if emit else (lane_out, ())
         pos = nb
         for lvl in range(1, level):
-            emit = lvl < level - 1
+            emit = bool(real) and lvl < level - 1
             band_src = [("a", 0)] + [("y", pos + b - 1) for b in range(1, nb)]
             acc5 = acc.reshape(1, X, Y, Zcnt, zct)
             edges5 = [
                 e.reshape((1,) + e.shape[:-1] + (Zcnt, zct)) for e in edges
             ]
-            a_slabs = _slabs_from_edges(edges5, slab_axes, axis_names,
-                                        halos, 1)
+            a_slabs = _slabs_from_edges(edges5, real, axis_names, halos, 1)
             partial = p4._lead_adj_call(
                 y5, acc5, band_src, taps_np, lead_t, zct,
-                shape_xy=(X, Y), slab_axes=slab_axes, y_slabs=y_slabs,
-                a_slabs=a_slabs,
+                shape_xy=(X, Y), slab_axes=real, y_slabs=y_slabs,
+                a_slabs=a_slabs, wrap_axes=wrap,
             )
             lane_out = p4._lane_adj_call(
                 partial.reshape(4, X, Y, L), taps_np, T, lane_t, scale,

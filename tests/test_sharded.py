@@ -169,6 +169,14 @@ from jax.experimental.pallas import tpu as pltpu
         # concat 'valid' fallback: db10 halo (9/10 rows) exceeds the 8-row
         # tile of the 24-row local shard -> _slab_axes_for declines
         ((96, 32, 128), "db10", ("x", None, None), {"x": 4}, 1),
+        # size-1 mesh axes: the kernels' local-wrap segment variant (no
+        # slab operand, boundary tiles read wrapped local rows) — the
+        # bench's per-chip configuration
+        ((32, 32, 128), "db4", ("x", None, None), {"x": 1}, 3),
+        ((32, 32, 128), "db2", ("x", "y", None), {"x": 1, "y": 1}, 2),
+        # mixed: one real slab axis + one size-1 wrap axis (corner combos
+        # read the real axis's slab at wrapped offsets)
+        ((32, 32, 128), "db2", ("x", "y", None), {"x": 2, "y": 1}, 2),
     ],
 )
 @pytest.mark.parametrize("pl2", [False, True])
@@ -205,6 +213,9 @@ def test_sharded_pallas_infeasible_raises():
         ((32, 16, 4, 32), "db1", ("x", None, None, None), {"x": 4}, 2),
         # 4D slab 'valid' mode with multiple lead tiles per shard
         ((64, 16, 4, 32), "db2", ("x", None, None, None), {"x": 2}, 2),
+        # size-1 mesh axis: local-wrap segment variant (the bench's
+        # per-chip 4D configuration)
+        ((32, 16, 4, 32), "db2", ("x", None, None, None), {"x": 1}, 2),
     ],
 )
 def test_sharded_pallas_4d_matches_oracle(shape, wv, spec, mesh_shape, level, rng):
