@@ -6,6 +6,11 @@ kernel launch (in-kernel loop, schedule in SMEM), so the per-launch
 latency of a remote accelerator is paid once per chain instead of once
 per sweep."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

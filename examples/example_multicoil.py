@@ -5,6 +5,11 @@ Uses the symlet family (``sym4`` — least-asymmetric Daubechies, a
 capability superset of the reference's db table) and per-coil shrinkage.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

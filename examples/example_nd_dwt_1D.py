@@ -3,6 +3,11 @@ construct -> dec -> rec, print wavelet/signal-domain energy and the
 reconstruction error. The reference uses MATLAB's ``noisbloc`` fixture; here
 a synthetic blocky signal plus noise stands in."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

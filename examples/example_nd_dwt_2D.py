@@ -2,6 +2,11 @@
 ``cameraman.tif``); here a synthetic phantom image. Adds the denoising
 application the transform exists for."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

@@ -1,6 +1,11 @@
 """3D NDDWT demo — mirrors ``example_nd_dwt_3D.m`` (random volume,
 three different wavelets, energy + recon error)."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

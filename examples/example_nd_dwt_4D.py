@@ -1,6 +1,11 @@
 """4D NDDWT demo — mirrors ``example_nd_dwt_4D.m`` plus the Haar direct
 class (``harr_nddwt_4D``) the reference ships for dynamic volumes."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

@@ -8,6 +8,11 @@ flat-kernel shapes each FISTA iterate (both components: dec -> shrink ->
 rec) is ONE fused kernel launch via ``plan.dec_rec_split``.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 import non_decimated_wavelets_tpu as nw

@@ -73,7 +73,19 @@ def _parse_family(name: str):
     p = int(m.group(2))
     if p < 1:
         raise ValueError(f"Wavelet order must be >= 1, got {name!r}")
-    return m.group(1), p
+    fam = m.group(1)
+    # Practical order caps (the same bounds PyWavelets ships): beyond
+    # db38 the double-seeded root polish loses the <1e-15 tap accuracy
+    # contract, and the symlet least-asymmetry search enumerates
+    # 2^((p-1)/2) conj-closed flip choices — sym99 would be 2^49 combos
+    # (observed: an unbounded 'sym99' construction simply hangs).
+    cap = 38 if fam == "db" else 20
+    if p > cap:
+        raise ValueError(
+            f"Wavelet order {p} exceeds the supported maximum "
+            f"{fam}{cap} (got {name!r})"
+        )
+    return fam, p
 
 
 def parse_wavelet_name(name: str) -> int:
@@ -228,8 +240,10 @@ def daubechies_taps(p: int, dtype=np.float64) -> np.ndarray:
     """Extremal-phase Daubechies-p scaling taps (2p taps, sum = sqrt(2)).
 
     Matches the reference's hard-coded tables (``wave_filters.m:19-156``)
-    to <1e-15 for p = 1..10; also valid for larger p.
+    to <1e-15 for p = 1..10; also valid for larger p (capped at db38, see
+    ``_parse_family``).
     """
+    _parse_family(f"db{int(p)}")  # order-cap validation
     return np.asarray(_daubechies_taps_long(int(p)), dtype=dtype)
 
 
@@ -257,7 +271,10 @@ def qmf_highpass(taps: np.ndarray) -> np.ndarray:
 
 def symlet_taps(p: int, dtype=np.float64) -> np.ndarray:
     """Least-asymmetric Daubechies-p (symlet) scaling taps (2p taps,
-    sum = sqrt(2)) — capability superset beyond the reference's db table."""
+    sum = sqrt(2)) — capability superset beyond the reference's db table.
+    Capped at sym20 (the flip search is exponential; see
+    ``_parse_family``)."""
+    _parse_family(f"sym{int(p)}")  # order-cap validation
     return np.asarray(_symlet_taps_long(int(p)), dtype=dtype)
 
 

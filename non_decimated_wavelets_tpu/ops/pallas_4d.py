@@ -114,21 +114,21 @@ def _lead_tiles(X, Y, zct, K0, K1):
 
 
 def _lead_kgroup(Zcnt, tiles, zct, K0, K1):
-    """Largest lane-chunk group G (k-chunks staged per band write) whose
-    liveness fits: the dec lead stage is WRITE-bandwidth-bound (~133 GB/s,
-    512B strided runs at zct=128); grouping G adjacent k-chunks per DMA
-    lengthens the contiguous runs to ``G*zct*4`` bytes without touching
-    the (hard-capped, see CLAUDE.md REJECTED) per-chunk zct. Liveness:
-    G-scaled bufs/stage plus 4*G live band values per temp band."""
-    tx, ty = tiles
-    ex0 = tx + K0 - 1
-    ey = ty + 2 * _round8(K1 // 2)
-    for g in (4, 2):
-        if Zcnt % g:
-            continue
-        live = g * (2 * ex0 * ey + 2 * 2 * tx * ty + 4 * tx * ty) * zct
-        if live <= _BUDGET:
-            return g
+    """Lane-chunk group G (k-chunks staged per band write). The idea:
+    the dec lead stage is WRITE-bandwidth-bound (~133 GB/s, 512B strided
+    runs at zct=128); grouping G adjacent k-chunks per DMA lengthens the
+    contiguous runs to ``G*zct*4`` bytes without touching the (hard-capped,
+    see CLAUDE.md REJECTED) per-chunk zct.
+
+    MEASURED DEAD-END (r3, ``scripts/exp_4d_kgroup.py``, 64^3x32 db4):
+    (32,32) G=1 4.43 ms/level; every G>1 combo either FAILS remote Mosaic
+    compile ((16,32) G=2, (16,16) G=4 — liveness-feasible per the model,
+    HTTP 500 from the compile helper) or is catastrophically slower on
+    smaller tiles ((16,16) G=2 20.4 ms, (8,16) G=4 33.2 ms — tile shrink
+    costs far more than run-length buys). Interpret-mode CI cannot catch
+    the compile failures, so auto-selection of G>1 is a hardware landmine
+    for small-X/Y shapes; pinned to 1. The ``kgroup`` plumbing stays for
+    explicit experiments if the Mosaic toolchain updates."""
     return 1
 
 

@@ -11,14 +11,21 @@ prints ms/level; the winner sets the `_lead_kgroup`/`_lead_tiles` policy.
 Run directly on the TPU-attached host: ``python scripts/exp_4d_kgroup.py``.
 """
 
+import faulthandler
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
 
 import jax
+
+jax.config.update("jax_enable_x64", True)  # match bench.py's trace env
+
 import jax.numpy as jnp
 
 import non_decimated_wavelets_tpu as nw

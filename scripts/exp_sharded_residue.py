@@ -15,14 +15,21 @@ kernels. This script separates them:
 Run on the TPU-attached host: ``python scripts/exp_sharded_residue.py``.
 """
 
+import faulthandler
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+faulthandler.dump_traceback_later(120, repeat=True, file=sys.stderr)
 
 import jax
+
+jax.config.update("jax_enable_x64", True)  # match bench.py's trace env
+
 import jax.numpy as jnp
 
 import non_decimated_wavelets_tpu as nw

@@ -25,10 +25,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
+
+# Make the package importable no matter where (or with what PYTHONPATH)
+# this script is launched — multi-process runs spawn it directly.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_args():

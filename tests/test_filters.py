@@ -90,6 +90,19 @@ def test_name_parsing_and_errors():
         # filter longer than axis: same trigger as the reference error
         # (Functions/nd_dwt_3D.m:277-286)
         F.frequency_response("db4", 5)
+    # Order caps must raise FAST: the symlet least-asymmetry search is
+    # exponential in p (an unbounded 'sym99' construction hangs — r3
+    # verify probe), and db root accuracy degrades past db38.
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        F.parse_wavelet_name("sym99")
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        F.parse_wavelet_name("db39")
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        F.symlet_taps(21)
+    with pytest.raises(ValueError, match="exceeds the supported maximum"):
+        F.daubechies_taps(39)
+    assert F.parse_wavelet_name("db38") == 38
+    assert F.parse_wavelet_name("sym20") == 20
 
 
 # ---------------------------------------------------------------------------

@@ -634,16 +634,20 @@ class TestMultiIterate:
         ref = jnp.concatenate([y0[:1], soft_threshold(y0[1:], lam)], axis=0)
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref), atol=1e-5)
 
-    def test_dec4_kgroup_matches_direct(self, rng):
-        """k-grouped lead-stage writes (G=2 at this shape): same bands."""
+    def test_dec4_kgroup_matches_direct(self, rng, monkeypatch):
+        """k-grouped lead-stage writes (G=2, forced): same bands.
+
+        The auto-policy is pinned to G=1 (hardware-measured dead-end —
+        see ``_lead_kgroup``), but the plumbing stays for toolchain
+        updates; keep it correct by forcing G=2 through the policy."""
         from non_decimated_wavelets_tpu.ops import pallas_4d
 
         shape, level = (8, 8, 8, 32), 2
         plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float32)
         taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
-        zc = pallas_4d._chunk(8, 32)
-        lt = pallas_4d._lead_tiles(8, 8, zc * 32, 4, 4)
-        assert pallas_4d._lead_kgroup(8 // zc, lt, zc * 32, 4, 4) > 1
+        monkeypatch.setattr(
+            pallas_4d, "_lead_kgroup", lambda *a, **k: 2
+        )
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
         with pltpu.force_tpu_interpret_mode():
             y = pallas_4d.dec4(x, taps_np, level)
