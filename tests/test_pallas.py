@@ -42,6 +42,53 @@ def test_rec_roundtrip(shape, wv, level, pl2, rng):
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
 
 
+MULTI_CASES = [
+    ((64, 128), "db2", 3, False),
+    ((32, 16, 128), "db4", 3, True),
+    ((16, 16, 256), ("db1", "db3", "db2"), 2, False),
+    ((24, 8, 128), ("db6", "db2", "db4"), 4, True),
+]
+
+
+@pytest.mark.parametrize("shape,wv,level,pl2", MULTI_CASES)
+def test_multilevel_one_launch_kernels(shape, wv, level, pl2, rng):
+    """Whole-cascade single-launch kernels (grid over levels, HBM ping-pong
+    carry, traced band offsets) match the direct path exactly, both
+    directions, including the fused detail shrink."""
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32,
+                    preserve_l2=pl2)
+    taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_kernels._fused_dec_multi(x, taps_np, level)
+        ys = pallas_kernels._fused_dec_multi(x, taps_np, level, lam=0.1)
+        xr = pallas_kernels._fused_rec_multi(yd, taps_np, level, pl2)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+    ref = pallas_kernels._shrink_details_xla(yd, 0.1)
+    np.testing.assert_allclose(np.asarray(ys), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_multilevel_gates():
+    """The one-launch cascade declines level 1 and shapes past the tile-
+    count crossover (measured: a wash at 256^3, 1.63x at 512^2)."""
+    taps = tuple(
+        np.asarray(t)
+        for t in nw.NDDWT(wavelet="db2", shape=(64, 128)).taps_hp
+    )
+    x = jnp.zeros((64, 128), jnp.float32)
+    assert pallas_kernels._fused_dec_multi(x, taps, 1) is None
+    big_taps = tuple(
+        np.asarray(t)
+        for t in nw.NDDWT(wavelet="db2", shape=(256, 256, 256)).taps_hp
+    )
+    xb = jnp.zeros((256, 256, 256), jnp.float32)
+    assert pallas_kernels._fused_dec_multi(xb, big_taps, 3) is None
+    yb = jnp.zeros((10, 256, 256, 256), jnp.float32)
+    assert pallas_kernels._fused_rec_multi(yb, big_taps, 3, False) is None
+
+
 def test_fallback_unsupported_shape(rng):
     """Small non-tileable shapes now ride the flat-lane kernels (the XLA
     direct path is a hazard on the target backend); large non-tileable
