@@ -745,11 +745,22 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
 _MULTI_MAX_VOX = 4_000_000  # 2048^2 / 128^3-class shapes and below
 
 
+def _detail_groups(nb, bgroup):
+    """Detail bands 1..nb-1 in chunks of ``bgroup`` adjacent bands — each
+    chunk is contiguous in the band-first layout, so it rides ONE DMA
+    (the transforms are DMA-count-bound: bf16 halves traffic but not
+    time, exp_bf16.py)."""
+    return [
+        list(range(b, min(b + bgroup, nb))) for b in range(1, nb, bgroup)
+    ]
+
+
 def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
-                           nping, lam=0.0):
+                           nping, lam=0.0, bgroup=1):
     nb = 2**ndim
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
+    groups = _detail_groups(nb, bgroup)
 
     def kernel(x_hbm, big_in, big_ref, ping_ref, buf, stage, sem, sem_out):
         del big_in  # aliased to big_ref (input_output_aliases)
@@ -786,31 +797,42 @@ def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
             for ax in range(n_lead)
         ) + (slice(None),)
         inflight = [None, None]
-        for b in range(nb):
-            slot = b % 2
+        # Approximation first (group index -1), then the detail groups —
+        # each group is one contiguous multi-band DMA.
+        for gi, grp in enumerate([[0]] + groups):
+            slot = gi % 2
             if inflight[slot] is not None:
                 for c in inflight[slot]:
                     c.wait()
-            stage[np.int32(slot)] = vals[b].astype(stage.dtype)
-            if b == 0:
+            if gi == 0:
+                stage[np.int32(slot), np.int32(0)] = vals[0].astype(
+                    stage.dtype
+                )
                 # Approximation: ping slot between levels, band 0 of the
                 # aliased output at the final level (one of the pair fires).
                 cps = [
                     _CondCopy(final, pltpu.make_async_copy(
-                        stage.at[np.int32(slot)],
+                        stage.at[np.int32(slot), np.int32(0)],
                         big_ref.at[(np.int32(0),) + sp_idx],
                         sem_out.at[np.int32(slot)],
                     )),
                     _CondCopy(jnp.logical_not(final), pltpu.make_async_copy(
-                        stage.at[np.int32(slot)],
+                        stage.at[np.int32(slot), np.int32(0)],
                         ping_ref.at[(wslot,) + sp_idx],
                         sem_out.at[np.int32(slot)],
                     )),
                 ]
             else:
+                for k, b in enumerate(grp):
+                    stage[np.int32(slot), np.int32(k)] = vals[b].astype(
+                        stage.dtype
+                    )
                 cps = [pltpu.make_async_copy(
-                    stage.at[np.int32(slot)],
-                    big_ref.at[(woff + np.int32(b - 1),) + sp_idx],
+                    stage.at[np.int32(slot), pl.ds(0, len(grp))],
+                    big_ref.at[
+                        (pl.ds(woff + np.int32(grp[0] - 1), len(grp)),)
+                        + sp_idx
+                    ],
                     sem_out.at[np.int32(slot)],
                 )]
             for c in cps:
@@ -822,6 +844,20 @@ def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
                     c.wait()
 
     return kernel
+
+
+def _dec_bgroup(shape, tiles, ndim):
+    """Largest detail-band write group whose extra stage liveness fits
+    (the 2-slot stage grows from 2 to 2*G tiles on top of ``_dec_tiles``'
+    12-tile model)."""
+    tile_words = int(np.prod(tiles)) * shape[-1]
+    nb = 2**ndim
+    for g in (4, 2):
+        if g >= nb:
+            continue
+        if (12 + 2 * (g - 1)) * tile_words <= 2_400_000:
+            return g
+    return 1
 
 
 def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
@@ -846,10 +882,11 @@ def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
         tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
     ) + (shape[-1],)
     nping = 1 if level == 2 else 2
+    bgroup = _dec_bgroup(shape, tiles, ndim)
     big = jnp.empty((B,) + shape, x.dtype)
     out = pl.pallas_call(
         _make_dec_multi_kernel(ndim, tiles, shape, taps_np, level, B, nping,
-                               lam=lam),
+                               lam=lam, bgroup=bgroup),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(
@@ -863,7 +900,7 @@ def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
         input_output_aliases={1: 0},
         scratch_shapes=[
             pltpu.VMEM(buf_tile, x.dtype),
-            pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
+            pltpu.VMEM((2, bgroup) + tuple(tiles) + (shape[-1],), x.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((2,)),
         ],
