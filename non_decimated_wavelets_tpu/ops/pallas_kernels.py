@@ -58,6 +58,26 @@ def _round8(n: int) -> int:
     return -(-n // 8) * 8
 
 
+# Tuning knobs for the per-level dec kernel, swept on hardware by
+# scripts/exp_dec_opt.py (read at trace time; defaults = shipped config).
+_DEC_TILES_OVERRIDE = None  # e.g. (16, 32): bypass _dec_tiles' search
+_DEC_LEVEL_BGROUP = 1  # adjacent detail bands per write DMA (3D per-level)
+_DEC_PREFETCH = False  # cross-grid-step input double-buffering
+# Interior tiles of a plain (unsharded, unpadded) axis read their whole
+# halo'd extent [base-w_l, base+t+w_r) as ONE contiguous DMA instead of
+# three wrap segments — only first/last tiles (whose halo actually wraps)
+# take the 3-segment form, selected per grid step with _CondCopy (the
+# kernels are DMA-count-bound, exp_bf16.py). Applies to every
+# _seg_copies_one caller: dec tile reads AND rec streaming band reads.
+_FUSE_INTERIOR = False
+
+
+def _as_i32(v):
+    """np.int32 for Python ints (Mosaic rejects i64 literals under x64);
+    traced values pass through (already i32 from program_id arithmetic)."""
+    return np.int32(v) if isinstance(v, (int, np.integer)) else v
+
+
 def _supported(shape, dtype):
     return (
         len(shape) in (2, 3)
@@ -267,6 +287,28 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
             sL = pl.multiple_of(sL, 8)
             sC = pl.multiple_of(sC, 8)
             sR = pl.multiple_of(sR, 8)
+        n_tiles = N // t
+        if (_FUSE_INTERIOR and n_tiles >= 3 and 0 < max(w_l, w_r)
+                and w_l <= t and w_r <= t):
+            # Interior tiles (halo never wraps): ONE contiguous DMA for
+            # the full halo'd extent; boundary tiles keep the wrap
+            # segments. Mutually exclusive variants as in the slab path.
+            first = i == np.int32(0)
+            last = i == np.int32(n_tiles - 1)
+            interior = jnp.logical_and(
+                jnp.logical_not(first), jnp.logical_not(last)
+            )
+            boundary = jnp.logical_or(first, last)
+            sF = base - np.int32(w_l)
+            if aligned:
+                sF = pl.multiple_of(sF, 8)  # base, w_l both 8-multiples
+            segs = [(sF, 0, w_l + t + w_r, (ax, "fuse", interior))]
+            for s in ((sL, 0, w_l, None), (sC, w_l, t, None),
+                      (sR, w_l + t, w_r, None)):
+                if s[2] > 0:
+                    segs.append((s[0], s[1], s[2], (ax, "fuse", boundary)))
+            per_axis.append(segs)
+            continue
         segs = [(sL, 0, w_l, None), (sC, w_l, t, None),
                 (sR, w_l + t, w_r, None)]
         per_axis.append([s for s in segs if s[2] > 0])
@@ -293,7 +335,7 @@ def _seg_copies_one(src_ref, bufs_ref, sem, shape_sp, tiles, halos, grid_ids,
         dst_sp = tuple(slice(off, off + e) for _, off, e, _ in combo) + (
             slice(None),
         )
-        dst = dst_sp if slot is None else (np.int32(slot),) + dst_sp
+        dst = dst_sp if slot is None else (_as_i32(slot),) + dst_sp
         cp = pltpu.make_async_copy(ref.at[src], bufs_ref.at[dst], sem)
         copies.append(cp if cond is None else _CondCopy(cond, cp))
     return copies
@@ -426,7 +468,8 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
 
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                      padded=None, approx_to_big=False, slab_axes=(),
-                     lam=0.0, emit_edges=False, wrap_axes=()):
+                     lam=0.0, emit_edges=False, wrap_axes=(),
+                     bgroup=1, prefetch=False):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -441,7 +484,13 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     the staged write — the shrink of an iterative prox step fused into the
     analysis (each level's details are final, so one application per band);
     the XLA equivalent is a separate full-band-array read+write pass at
-    ~55 GB/s."""
+    ~55 GB/s.
+    ``bgroup``: adjacent detail bands staged together and written with ONE
+    DMA (they are contiguous in the band-first output) — fewer, larger
+    write transfers (the kernels are DMA-count-bound, exp_bf16.py).
+    ``prefetch``: cross-grid-step input double-buffering — step ``s``
+    issues step ``s+1``'s wrap-segment loads before computing, hiding the
+    input read behind compute + writes (plain unsharded mode only)."""
     nb = 2**ndim
     n_lead = ndim - 1
     halos = _dec_halos(ndim, taps_np_tuple)
@@ -449,6 +498,8 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     n_slabs = _n_slab_ops(slab_axes)
     n_edge = len(slab_axes) if emit_edges else 0
     assert not (emit_edges and approx_to_big)  # final level emits nothing
+    assert not (prefetch and (padded is not None or slab_axes or wrap_axes))
+    ngrid = tuple(shape_sp[ax] // tiles[ax] for ax in range(n_lead))
 
     def kernel(x_hbm, *rest):
         slab_refs = _slab_ref_dict(slab_axes, rest[:n_slabs])
@@ -469,16 +520,53 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                 buf, stage, sem, sem_out = rest
         del big_in  # aliased to big_ref (input_output_aliases)
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
-        copies = _seg_copies_one(
-            x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids, padded=padded,
-            slab_axes=slab_axes, slab_refs=slab_refs, wrap_axes=wrap_axes,
-        )
-        for c in copies:
-            c.start()
-        for c in copies:
-            c.wait()
+        if prefetch:
+            # Linear step id (row-major; the TPU grid iterates the last
+            # axis fastest) and the NEXT step's grid ids, for issuing step
+            # s+1's input load while step s computes/writes.
+            lin = grid_ids[0]
+            for ax in range(1, n_lead):
+                lin = lin * np.int32(ngrid[ax]) + grid_ids[ax]
+            total = int(np.prod(ngrid))
+            slot_in = jax.lax.rem(lin, np.int32(2))
+            slot_nxt = jax.lax.rem(lin + np.int32(1), np.int32(2))
+            first = lin == np.int32(0)
+            last = lin == np.int32(total - 1)
+            nxt_ids = [None] * n_lead
+            carry = np.int32(1)
+            for ax in reversed(range(n_lead)):
+                v = grid_ids[ax] + carry
+                wrap = v == np.int32(ngrid[ax])
+                nxt_ids[ax] = jnp.where(wrap, np.int32(0), v)
+                carry = wrap.astype(jnp.int32)
 
-        vals = _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam)
+            def in_copies(ids, slot):
+                return _seg_copies_one(
+                    x_hbm, buf, sem.at[slot], shape_sp, tiles, halos, ids,
+                    slot=slot,
+                )
+
+            for c in in_copies(grid_ids, slot_in):
+                _CondCopy(first, c).start()
+            for c in in_copies(nxt_ids, slot_nxt):
+                _CondCopy(jnp.logical_not(last), c).start()
+            for c in in_copies(grid_ids, slot_in):
+                c.wait()
+            buf_tile = buf.at[slot_in]
+        else:
+            copies = _seg_copies_one(
+                x_hbm, buf, sem, shape_sp, tiles, halos, grid_ids,
+                padded=padded, slab_axes=slab_axes, slab_refs=slab_refs,
+                wrap_axes=wrap_axes,
+            )
+            for c in copies:
+                c.start()
+            for c in copies:
+                c.wait()
+            buf_tile = buf
+
+        vals = _dec_tile_compute(buf_tile, taps_np_tuple, ndim, tiles,
+                                 halos, lam)
         if not approx_to_big:
             app_ref[...] = vals[0].astype(app_ref.dtype)
         edge_cps = []
@@ -492,19 +580,25 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         # Detail bands go straight into the full multilevel output array
         # (ANY space, aliased input/output) via staged DMAs at the level's
         # static band offset: no XLA band concatenation anywhere in dec.
+        # ``bgroup`` adjacent detail bands share one contiguous DMA.
+        sp_idx = tuple(
+            pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
+            for ax in range(n_lead)
+        ) + (slice(None),)
+        groups = ([[0]] if approx_to_big else []) + _detail_groups(nb, bgroup)
         inflight = [None, None]
-        for b in range(0 if approx_to_big else 1, nb):
-            slot = (b - 1) % 2
+        for gi, grp in enumerate(groups):
+            slot = gi % 2
             if inflight[slot] is not None:
                 inflight[slot].wait()
-            stage[np.int32(slot)] = vals[b].astype(stage.dtype)
-            out_band = 0 if b == 0 else band_off + b - 1
-            out_idx = (np.int32(out_band),) + tuple(
-                pl.ds(grid_ids[ax] * np.int32(tiles[ax]), tiles[ax])
-                for ax in range(n_lead)
-            ) + (slice(None),)
+            for k, b in enumerate(grp):
+                stage[np.int32(slot), np.int32(k)] = vals[b].astype(
+                    stage.dtype
+                )
+            first_band = 0 if grp[0] == 0 else band_off + grp[0] - 1
+            out_idx = (pl.ds(np.int32(first_band), len(grp)),) + sp_idx
             c = pltpu.make_async_copy(
-                stage.at[np.int32(slot)],
+                stage.at[np.int32(slot), pl.ds(0, len(grp))],
                 big_ref.at[out_idx],
                 sem_out.at[np.int32(slot)],
             )
@@ -522,6 +616,11 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
 def _dec_tiles(shape, taps_np):
     ndim = len(shape)
     if shape[-1] % 128:
+        return None
+    if _DEC_TILES_OVERRIDE is not None:
+        tiles = _DEC_TILES_OVERRIDE[: ndim - 1]
+        if all(shape[ax] % tiles[ax] == 0 for ax in range(ndim - 1)):
+            return tuple(tiles)
         return None
     if ndim == 2:
         K0 = taps_np[0].shape[1]
@@ -546,6 +645,13 @@ def _dec_tiles(shape, taps_np):
             if live <= 2_400_000:
                 return (tx, ty)
     return None
+
+
+def _live_estimate(tiles, shape, bgroup):
+    """Rough live-words model of the per-level dec kernel's compute+stage
+    (the 12-tile term of ``_dec_tiles`` generalized to a grouped stage)."""
+    tile_words = int(np.prod(tiles)) * shape[-1]
+    return (10 + 2 * bgroup) * tile_words
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
@@ -580,11 +686,25 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
         tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
     ) + (shape[-1],)
 
+    # Knobbed write grouping / input prefetch (hardware-swept,
+    # scripts/exp_dec_opt.py). Prefetch needs the plain unsharded segment
+    # structure; grouping is mode-independent but VMEM-gated.
+    bgroup = min(_DEC_LEVEL_BGROUP, _dec_bgroup(shape, tiles, ndim))
+    prefetch = (
+        _DEC_PREFETCH
+        and padded is None
+        and not slab_axes
+        and not wrap_axes
+        and int(np.prod(buf_tile)) * 2 + _live_estimate(tiles, shape, bgroup)
+        <= 2_900_000
+    )
+
     B = big.shape[0]
     scratch = [
-        pltpu.VMEM(buf_tile, x.dtype),
-        pltpu.VMEM((2,) + tuple(tiles) + (shape[-1],), x.dtype),
-        pltpu.SemaphoreType.DMA,
+        pltpu.VMEM(((2,) + buf_tile) if prefetch else buf_tile, x.dtype),
+        pltpu.VMEM((2, bgroup) + tuple(tiles) + (shape[-1],), x.dtype),
+        pltpu.SemaphoreType.DMA((2,)) if prefetch
+        else pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),
     ]
     if approx_to_big:
@@ -615,7 +735,8 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
         _make_dec_kernel(ndim, tiles, shape, taps_np, band_off, padded,
                          approx_to_big, tuple(slab_axes), lam=lam,
                          emit_edges=emit_edges and not approx_to_big,
-                         wrap_axes=tuple(wrap_axes)),
+                         wrap_axes=tuple(wrap_axes),
+                         bgroup=bgroup, prefetch=prefetch),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,

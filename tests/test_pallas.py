@@ -744,3 +744,83 @@ class TestMultiIterate:
                                   level=1, iters=iters)
         np.testing.assert_allclose(np.asarray(fast), np.asarray(ref),
                                    atol=2e-3)
+
+
+@pytest.mark.parametrize(
+    "tiles,bgroup,prefetch,fuse",
+    [
+        (None, 2, False, False),
+        (None, 4, False, False),
+        (None, 1, True, False),
+        (None, 4, True, False),
+        ((16, 24), 4, True, False),
+        ((8, 16), 2, True, False),
+        (None, 1, False, True),
+        (None, 4, True, True),
+    ],
+)
+def test_dec_level_knob_variants(tiles, bgroup, prefetch, fuse, rng):
+    """Per-level kernel tuning knobs (write grouping / input prefetch /
+    tile override / fused-interior loads — scripts/exp_dec_opt.py) stay
+    exact vs the direct path. Drives the per-level chain directly:
+    dec_pallas routes small shapes to the one-launch multilevel kernel,
+    bypassing the knobbed kernel. 48^2 leading extent -> a 3x3 grid at
+    (16,16) tiles, so true INTERIOR tiles exercise the fused single-DMA
+    load variant (a 2x2 grid is all boundary and would never fire it)."""
+    shape, level = (48, 48, 128), 3
+    plan = nw.NDDWT(wavelet="db4", shape=shape, dtype=jnp.float32)
+    taps_np = tuple(np.asarray(t) for t in plan.taps_hp)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    y_ref = direct_path.dec_direct(x, plan.taps, level)
+
+    def dec_levels(v):
+        nb = 8
+        B = nb + (nb - 1) * (level - 1)
+        big = jnp.empty((B,) + shape, v.dtype)
+        approx = v
+        off = B
+        for lvl in range(level):
+            off -= nb - 1
+            final = lvl == level - 1
+            out = pallas_kernels._fused_dec_level(
+                approx, big, off, taps_np, approx_to_big=final
+            )
+            if final:
+                return out
+            big, approx = out
+
+    def rec_levels(y):
+        # Per-level streaming rec chain (mirrors _rec_dispatch's tail).
+        nb = 8
+        scale = 1.0 / nb
+        band_src = [("y", b) for b in range(nb)]
+        acc = pallas_kernels._fused_rec_level(y, None, band_src, taps_np,
+                                              scale)
+        pos = nb
+        for _ in range(1, level):
+            band_src = [("a", 0)] + [("y", pos + b - 1)
+                                     for b in range(1, nb)]
+            acc = pallas_kernels._fused_rec_level(y, acc, band_src, taps_np,
+                                                  scale)
+            pos += nb - 1
+        return acc
+
+    saved = (pallas_kernels._DEC_TILES_OVERRIDE,
+             pallas_kernels._DEC_LEVEL_BGROUP,
+             pallas_kernels._DEC_PREFETCH,
+             pallas_kernels._FUSE_INTERIOR)
+    try:
+        pallas_kernels._DEC_TILES_OVERRIDE = tiles
+        pallas_kernels._DEC_LEVEL_BGROUP = bgroup
+        pallas_kernels._DEC_PREFETCH = prefetch
+        pallas_kernels._FUSE_INTERIOR = fuse
+        with pltpu.force_tpu_interpret_mode():
+            y = jax.jit(dec_levels)(x)
+            xr = jax.jit(rec_levels)(y)
+    finally:
+        (pallas_kernels._DEC_TILES_OVERRIDE,
+         pallas_kernels._DEC_LEVEL_BGROUP,
+         pallas_kernels._DEC_PREFETCH,
+         pallas_kernels._FUSE_INTERIOR) = saved
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=2e-5)
