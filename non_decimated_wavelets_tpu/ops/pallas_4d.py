@@ -893,33 +893,48 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
                 wrap_axes=wrap_axes,
             )
 
-        for cp in load(0, 0):
+        # Pair-tree adjoint (the 3D `_stream_band_tree` idea): the Y
+        # adjoint is applied per band, the X adjoint to the SUM of the
+        # two bands sharing an X filter — 4*K1 Y-passes + 2*K0 X-passes
+        # per group instead of 4*(K1+K0), ~23% less lead-stage VPU work
+        # for db4 tiles. Stream order within a group is (0,2,1,3) so
+        # X-filter partners are adjacent in the 2-slot double buffer.
+        order = [4 * c + a for c in range(4) for a in (0, 2, 1, 3)]
+        for cp in load(order[0], 0):
             cp.start()
-        for c in range(4):
-            acc = None
-            for a in range(4):
-                b = 4 * c + a
-                slot = b % 2
-                if b + 1 < 16:
-                    for cp in load(b + 1, (b + 1) % 2):
-                        cp.start()
-                for cp in load(b, slot):
-                    cp.wait()
-                v = _up(buf[np.int32(slot)])
-                trow1 = t1[(a >> 1) & 1][::-1]
-                y1 = None
-                for jj in range(K1):
-                    r = v[:, start1 + jj : start1 + jj + ty, :]
-                    term = float(trow1[jj]) * r
-                    y1 = term if y1 is None else y1 + term
-                trow0 = t0[a & 1][::-1]
-                y0 = None
-                for jj in range(K0):
-                    r = y1[jj : jj + tx, :, :]
-                    term = float(trow0[jj]) * r
-                    y0 = term if y0 is None else y0 + term
-                acc = y0 if acc is None else acc + y0
-            out_ref[np.int32(c)] = acc.astype(out_ref.dtype)
+        acc = None
+        part = None
+        for s in range(16):
+            b = order[s]
+            c, a = b // 4, b % 4
+            slot = s % 2
+            if s + 1 < 16:
+                for cp in load(order[s + 1], (s + 1) % 2):
+                    cp.start()
+            for cp in load(b, slot):
+                cp.wait()
+            v = _up(buf[np.int32(slot)])
+            trow1 = t1[(a >> 1) & 1][::-1]
+            y1 = None
+            for jj in range(K1):
+                r = v[:, start1 + jj : start1 + jj + ty, :]
+                term = float(trow1[jj]) * r
+                y1 = term if y1 is None else y1 + term
+            if part is None:
+                part = y1
+                continue
+            part = part + y1
+            trow0 = t0[a & 1][::-1]
+            y0 = None
+            for jj in range(K0):
+                r = part[jj : jj + tx, :, :]
+                term = float(trow0[jj]) * r
+                y0 = term if y0 is None else y0 + term
+            part = None
+            acc = y0 if acc is None else acc + y0
+            if s % 4 == 3:
+                out_ref[np.int32(c)] = acc.astype(out_ref.dtype)
+                acc = None
 
     operands = (y5,) + tuple(y_slabs)
     if approx is not None:

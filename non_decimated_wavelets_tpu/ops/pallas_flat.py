@@ -114,24 +114,6 @@ def _corr_flat(v, taps_ref, sel, N, S, C, flat_idx, o, reverse):
     return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
 
 
-def _apply_band(v, b, taps_refs, shape, Ks, C, flat_idx, reverse):
-    """All d axis passes of engine band ``b`` (bit k = high on axis k).
-
-    ``shape`` may carry MORE leading axes than there are taps (a batch
-    axis, e.g. the split re/im pair): leading axes contribute to the
-    strides but are never correlated, so each batch item transforms
-    independently inside the same flat buffer."""
-    S = _strides(shape)
-    off = len(shape) - len(taps_refs)
-    for ax in range(len(taps_refs)):
-        o = Ks[ax] // 2 - 1
-        v = _corr_flat(
-            v, taps_refs[ax], (b >> ax) & 1, shape[ax + off], S[ax + off], C,
-            flat_idx, o, reverse,
-        )
-    return v
-
-
 def _stream_analysis(v, taps_refs, shape, Ks, C, flat_idx, level, B, nb,
                      shrink, y_hbm, stage, sem_out):
     """Multilevel analysis of value ``v``: stream every band (details run
@@ -141,20 +123,24 @@ def _stream_analysis(v, taps_refs, shape, Ks, C, flat_idx, level, B, nb,
     inflight = [None, None]
     slot = 0
     off = B
+    S = _strides(shape)
+    axoff = len(shape) - len(taps_refs)
     for lvl in range(level):
-        new_approx = _apply_band(
-            approx, 0, taps_refs, shape, Ks, C, flat_idx, False
-        )
+        # Depth-first band tree (see pallas_resident._dec_phase): each
+        # axis pass computed once per node and shared by the bands below
+        # — (2+4+8)K passes instead of 8*3K for 3D at the same peak
+        # liveness. Leaves stream out in bit-reversed order (harmless).
         off -= nb - 1
-        for b in range(1, nb):
-            val = shrink(
-                _apply_band(
-                    approx, b, taps_refs, shape, Ks, C, flat_idx, False
-                )
-            )
+        new_approx = [None]
+
+        def emit(b, val):
+            nonlocal slot
+            if b == 0:
+                new_approx[0] = val
+                return
             if inflight[slot] is not None:
                 inflight[slot].wait()
-            stage[np.int32(slot)] = val.astype(stage.dtype)
+            stage[np.int32(slot)] = shrink(val).astype(stage.dtype)
             cp = pltpu.make_async_copy(
                 stage.at[np.int32(slot)],
                 y_hbm.at[np.int32(off + b - 1)],
@@ -163,7 +149,21 @@ def _stream_analysis(v, taps_refs, shape, Ks, C, flat_idx, level, B, nb,
             cp.start()
             inflight[slot] = cp
             slot ^= 1
-        approx = new_approx
+
+        def expand(vv, ax, b):
+            if ax == len(taps_refs):
+                emit(b, vv)
+                return
+            o = Ks[ax] // 2 - 1
+            for s in (0, 1):
+                expand(
+                    _corr_flat(vv, taps_refs[ax], s, shape[ax + axoff],
+                               S[ax + axoff], C, flat_idx, o, False),
+                    ax + 1, b | (s << ax),
+                )
+
+        expand(approx, 0, 0)
+        approx = new_approx[0]
     if inflight[slot] is not None:
         inflight[slot].wait()
     stage[np.int32(slot)] = approx.astype(stage.dtype)
@@ -208,7 +208,15 @@ def _stream_synthesis(taps_refs, shape, Ks, C, flat_idx, level, B, nb, scale,
         inflight_r[0] = start_read(0, 0)
     acc = None
     step = 0
+    S = _strides(shape)
+    axoff = len(shape) - len(taps_refs)
+    d_sp = len(taps_refs)
     for lvl in range(level):
+        # Tree-factored adjoint accumulation (binary-counter pairwise
+        # reduction, see pallas_kernels._stream_band_tree): axis 0 per
+        # band, axis d>0 on the summed 2^d bands — the kernels are
+        # VPU-bound, so shared passes are the lever.
+        stack = [None] * max(d_sp - 1, 1)
         lvl_acc = None
         for b in range(nb):
             nxt = step + 1
@@ -220,10 +228,20 @@ def _stream_synthesis(taps_refs, shape, Ks, C, flat_idx, level, B, nb, scale,
                 v = _up(bufs[np.int32(step % 2)])
             else:
                 v = acc
-            contrib = _apply_band(
-                v, b, taps_refs, shape, Ks, C, flat_idx, True
-            )
-            lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
+            v = _corr_flat(v, taps_refs[0], b & 1, shape[axoff], S[axoff],
+                           C, flat_idx, Ks[0] // 2 - 1, True)
+            d = 0
+            while d < d_sp - 1 and stack[d] is not None:
+                v = stack[d] + v
+                stack[d] = None
+                v = _corr_flat(v, taps_refs[d + 1], (b >> (d + 1)) & 1,
+                               shape[d + 1 + axoff], S[d + 1 + axoff], C,
+                               flat_idx, Ks[d + 1] // 2 - 1, True)
+                d += 1
+            if d < d_sp - 1:
+                stack[d] = v
+            else:
+                lvl_acc = v if lvl_acc is None else lvl_acc + v
             step += 1
         acc = lvl_acc * scale if scale != 1.0 else lvl_acc
     return acc

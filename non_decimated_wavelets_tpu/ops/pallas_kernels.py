@@ -62,7 +62,9 @@ def _round8(n: int) -> int:
 # scripts/exp_dec_opt.py (read at trace time; defaults = shipped config).
 _DEC_TILES_OVERRIDE = None  # e.g. (16, 32): bypass _dec_tiles' search
 _DEC_LEVEL_BGROUP = 1  # adjacent detail bands per write DMA (3D per-level)
-_DEC_PREFETCH = False  # cross-grid-step input double-buffering
+_DEC_PREFETCH = True  # cross-grid-step input double-buffering (measured
+# -3% dec at 256^3: 10.25 -> 9.94 ms, scripts/exp_dec_opt.py; gated to
+# plain unsharded mode and the VMEM model in _fused_dec_level)
 # Interior tiles of a plain (unsharded, unpadded) axis read their whole
 # halo'd extent [base-w_l, base+t+w_r) as ONE contiguous DMA instead of
 # three wrap segments — only first/last tiles (whose halo actually wraps)
@@ -1045,7 +1047,9 @@ def _rec_tiles(shape, taps_np):
         for tx in (512, 256, 128, 64, 32, 16):
             if shape[0] % tx == 0:
                 ex0 = tx + 2 * _round8(max(K0 // 2, K0 // 2 - 1))
-                live = 4 * ex0 * shape[-1] + 2 * tx * shape[-1]
+                # + tx*z: the tree reduction's held stack[0] partial
+                # (_stream_band_tree).
+                live = 4 * ex0 * shape[-1] + 3 * tx * shape[-1]
                 if live <= 3_400_000:
                     return (tx,)
         return None
@@ -1057,6 +1061,9 @@ def _rec_tiles(shape, taps_np):
             ex1 = ty + 2 * _round8(K1 // 2)  # sublane axis: 8-aligned
             z = shape[-1]
             live = 3 * ex0 * ex1 * z + ex0 * ex1 * z + 2 * tx * ty * z
+            # The tree reduction holds up to two extra partials
+            # ((tx,ey,z) after axis 0, (tx,ty,z) after axis 1).
+            live += tx * ex1 * z + tx * ty * z
             if live <= 3_400_000:
                 return (tx, ty)
     return None
@@ -1076,6 +1083,79 @@ def _rec_halos(ndim, taps_np_tuple):
         else:
             halos.append((h_l, h_r, False))
     return halos
+
+
+def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
+                      seg_copies):
+    """Streaming synthesis band loop shared by the per-level and the
+    one-launch multilevel rec kernels: NSLOT-deep DMA prefetch plus a
+    TREE-FACTORED adjoint accumulation (binary-counter pairwise reduction
+    over the band index). Axis 0 is applied per band, but axis d>0 is
+    applied to the SUM of the 2^d bands sharing its higher bits —
+    (8+4+2)K tap-passes instead of 8*3K for 3D, and the lane rolls (the
+    costly op) run on 2 partials instead of 8. rec is VPU-bound, not
+    DMA-bound: bf16's halved traffic and the fused-interior single-DMA
+    reads both measured ZERO rec gain (scripts/exp_rec_fuse.py), so
+    vector work is the lever. Stream order and DMA structure match the
+    old band-serial form exactly; only the compute is re-associated
+    (adjoint of the analysis tree in ``_dec_tile_compute``)."""
+
+    def axis_pass(v, ax, sel):
+        # One partial's adjoint along ``ax``. Leading axes: the over-wide
+        # W-halo is absorbed into the slice starts (no trimming copy:
+        # every live VMEM value counts against the 16MB scoped limit).
+        # Lane axis: circular pltpu.roll.
+        trow = taps_np_tuple[ax][sel][::-1]
+        K = len(trow)
+        o_adj = K // 2
+        a2 = None
+        for j in range(K):
+            if ax == ndim - 1:
+                shift = (o_adj - j) % v.shape[-1]
+                r = (
+                    pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
+                    if shift
+                    else v
+                )
+            else:
+                # slice start: w_l - h_l skips surplus halo rows
+                # (h_l = K-1-o = K//2 for the adjoint anchor; zero
+                # surplus on outer axes).
+                h_l = K // 2
+                start = halos[ax][0] - h_l + j
+                idx2 = [slice(None)] * v.ndim
+                idx2[ax] = slice(start, start + tiles[ax])
+                r = v[tuple(idx2)]
+            term = float(trow[j]) * r
+            a2 = term if a2 is None else a2 + term
+        return a2
+
+    for pre in range(min(NSLOT - 1, nb)):
+        for c in seg_copies(pre, pre % NSLOT):
+            c.start()
+    stack = [None] * max(ndim - 1, 1)
+    acc = None
+    for b in range(nb):
+        slot = b % NSLOT
+        nxt = b + NSLOT - 1
+        if nxt < nb:
+            for c in seg_copies(nxt, nxt % NSLOT):
+                c.start()
+        for c in seg_copies(b, slot):
+            c.wait()
+        v = _up(bufs[np.int32(slot)])
+        v = axis_pass(v, 0, b & 1)
+        d = 0
+        while d < ndim - 1 and stack[d] is not None:
+            v = stack[d] + v
+            stack[d] = None
+            v = axis_pass(v, d + 1, (b >> (d + 1)) & 1)
+            d += 1
+        if d < ndim - 1:
+            stack[d] = v
+        else:
+            acc = v if acc is None else acc + v
+    return acc
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
@@ -1138,51 +1218,8 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
                 slab_refs=refs, wrap_axes=wrap_axes,
             )
 
-        for pre in range(min(NSLOT - 1, nb)):
-            for c in seg_copies(pre, pre % NSLOT):
-                c.start()
-        acc = None
-        for b in range(nb):
-            slot = b % NSLOT
-            nxt = b + NSLOT - 1
-            if nxt < nb:
-                for c in seg_copies(nxt, nxt % NSLOT):
-                    c.start()
-            for c in seg_copies(b, slot):
-                c.wait()
-            v = _up(bufs[np.int32(slot)])
-            # Separable adjoint of this band: leading axes first so the
-            # working extents shrink before the lane-roll pass (lower peak
-            # VMEM liveness). The over-wide W-halo is absorbed into the
-            # slice starts (no trimming copy: every live VMEM value counts
-            # against the 16MB scoped limit).
-            for ax in range(ndim):
-                sel = (b >> ax) & 1
-                trow = taps_np_tuple[ax][sel][::-1]
-                K = len(trow)
-                o_adj = K // 2
-                a2 = None
-                for j in range(K):
-                    if ax == ndim - 1:
-                        shift = (o_adj - j) % v.shape[-1]
-                        r = (
-                            pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
-                            if shift
-                            else v
-                        )
-                    else:
-                        # slice start: w_l - h_l skips surplus halo rows
-                        # (h_l = K-1-o = K//2 for the adjoint anchor; zero
-                        # surplus on outer axes).
-                        h_l = K // 2
-                        start = halos[ax][0] - h_l + j
-                        idx2 = [slice(None)] * v.ndim
-                        idx2[ax] = slice(start, start + tiles[ax])
-                        r = v[tuple(idx2)]
-                    term = float(trow[j]) * r
-                    a2 = term if a2 is None else a2 + term
-                v = a2
-            acc = v if acc is None else acc + v
+        acc = _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple,
+                                bufs, NSLOT, seg_copies)
         if scale != 1.0:
             acc = acc * scale
         out_ref[...] = acc.astype(out_ref.dtype)
@@ -1298,43 +1335,8 @@ def _make_rec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level,
                 halos, grid_ids, band_idx=idx, slot=slot,
             )
 
-        for pre in range(min(NSLOT - 1, nb)):
-            for c in seg_copies(pre, pre % NSLOT):
-                c.start()
-        acc = None
-        for b in range(nb):
-            slot = b % NSLOT
-            nxt = b + NSLOT - 1
-            if nxt < nb:
-                for c in seg_copies(nxt, nxt % NSLOT):
-                    c.start()
-            for c in seg_copies(b, slot):
-                c.wait()
-            v = _up(bufs[np.int32(slot)])
-            for ax in range(ndim):
-                sel = (b >> ax) & 1
-                trow = taps_np_tuple[ax][sel][::-1]
-                K = len(trow)
-                o_adj = K // 2
-                a2 = None
-                for j in range(K):
-                    if ax == ndim - 1:
-                        shift = (o_adj - j) % v.shape[-1]
-                        r = (
-                            pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
-                            if shift
-                            else v
-                        )
-                    else:
-                        h_l = K // 2
-                        start = halos[ax][0] - h_l + j
-                        idx2 = [slice(None)] * v.ndim
-                        idx2[ax] = slice(start, start + tiles[ax])
-                        r = v[tuple(idx2)]
-                    term = float(trow[j]) * r
-                    a2 = term if a2 is None else a2 + term
-                v = a2
-            acc = v if acc is None else acc + v
+        acc = _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple,
+                                bufs, NSLOT, seg_copies)
         if scale != 1.0:
             acc = acc * scale
         stage[...] = acc.astype(stage.dtype)
@@ -1377,7 +1379,9 @@ def _rec_multi_tiles(shape, dtype, taps_np, level):
         tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(ndim - 1)
     ]
     buf_words = int(np.prod(buf_rows)) * shape[-1]
-    if 4 * buf_words + 2 * stage_words + stage_words > 3_400_000:
+    # + buf_words + stage_words: upper bound on the tree reduction's held
+    # stack partials (_stream_band_tree).
+    if 5 * buf_words + 4 * stage_words > 3_400_000:
         return None
     return tiles
 

@@ -168,23 +168,38 @@ def _dec_phase(x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
     slot = 0
     off = B
     for lvl in range(level):
-        def band_val(b, approx=approx):
-            v = approx
-            for ax in range(ndim_sp):
-                o = Ks[ax] // 2 - 1
-                v = _corr_fori(
-                    v, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, False
-                )
-            return v
-
-        new_approx = band_val(0)
+        # Depth-first band tree: each axis pass is computed ONCE per tree
+        # node and shared by the 2^(d-ax-1) bands below it — (2+4+8)K
+        # passes instead of 8*3K for 3D, at the same peak liveness as the
+        # per-band form (one intermediate per axis on the recursion
+        # path). Leaves stream to HBM in bit-reversed band order (writes
+        # are independent; order is irrelevant).
         off -= nb - 1
-        for b in range(1, nb):
+        new_approx = [None]
+
+        def emit(b, val):
+            nonlocal slot
+            if b == 0:
+                new_approx[0] = val
+                return
             if inflight[slot] is not None:
                 inflight[slot].wait()
-            inflight[slot] = write_band(off + b - 1, shrink(band_val(b)), slot)
+            inflight[slot] = write_band(off + b - 1, shrink(val), slot)
             slot ^= 1
-        approx = new_approx
+
+        def expand(v, ax, b):
+            if ax == ndim_sp:
+                emit(b, v)
+                return
+            o = Ks[ax] // 2 - 1
+            for s in (0, 1):
+                expand(
+                    _corr_fori(v, taps_refs[ax], s, ax + ax_off, o, False),
+                    ax + 1, b | (s << ax),
+                )
+
+        expand(approx, 0, 0)
+        approx = new_approx[0]
     if inflight[slot] is not None:
         inflight[slot].wait()
     inflight[slot] = write_band(0, approx, slot)
@@ -226,6 +241,13 @@ def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
     acc = None
     step = 0
     for lvl in range(level):
+        # Tree-factored adjoint accumulation (binary-counter pairwise
+        # reduction, see pallas_kernels._stream_band_tree): axis 0 per
+        # band, axis d>0 on the SUM of the 2^d bands sharing its higher
+        # bits — (8+4+2)K passes instead of 8*3K for 3D. These kernels
+        # are VPU-bound (scripts/exp_rec_fuse.py), so shared passes are
+        # the lever; stream order is unchanged.
+        stack = [None] * max(ndim_sp - 1, 1)
         lvl_acc = None
         for b in range(nb):
             nxt = step + 1
@@ -237,13 +259,22 @@ def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
                 v = _up(bufs[np.int32(step % 2)])
             else:
                 v = acc  # running approximation, already in VMEM
-            contrib = v
-            for ax in range(ndim_sp):
-                o = Ks[ax] // 2 - 1
-                contrib = _corr_fori(
-                    contrib, taps_refs[ax], (b >> ax) & 1, ax + ax_off, o, True
+            v = _corr_fori(
+                v, taps_refs[0], b & 1, ax_off, Ks[0] // 2 - 1, True
+            )
+            d = 0
+            while d < ndim_sp - 1 and stack[d] is not None:
+                v = stack[d] + v
+                stack[d] = None
+                v = _corr_fori(
+                    v, taps_refs[d + 1], (b >> (d + 1)) & 1,
+                    d + 1 + ax_off, Ks[d + 1] // 2 - 1, True,
                 )
-            lvl_acc = contrib if lvl_acc is None else lvl_acc + contrib
+                d += 1
+            if d < ndim_sp - 1:
+                stack[d] = v
+            else:
+                lvl_acc = v if lvl_acc is None else lvl_acc + v
             step += 1
         acc = lvl_acc * scale if scale != 1.0 else lvl_acc
     return acc
