@@ -62,9 +62,11 @@ def _round8(n: int) -> int:
 # scripts/exp_dec_opt.py (read at trace time; defaults = shipped config).
 _DEC_TILES_OVERRIDE = None  # e.g. (16, 32): bypass _dec_tiles' search
 _DEC_LEVEL_BGROUP = 1  # adjacent detail bands per write DMA (3D per-level)
-_DEC_PREFETCH = True  # cross-grid-step input double-buffering (measured
-# -3% dec at 256^3: 10.25 -> 9.94 ms, scripts/exp_dec_opt.py; gated to
-# plain unsharded mode and the VMEM model in _fused_dec_level)
+_DEC_PREFETCH = 2  # cross-grid-step input prefetch DEPTH (slot-ring size;
+# 0/False = off). Swept on hardware (scripts/exp_prefetch.py, 256^3 db4
+# L3): off 10.22, D2 9.93, D3/D4 10.05 ms — the shallow ring wins; the
+# residual dec gap over its VPU+write floor is not read-latency. Gated
+# to plain unsharded mode + the VMEM model in _fused_dec_level.
 # Interior tiles of a plain (unsharded, unpadded) axis read their whole
 # halo'd extent [base-w_l, base+t+w_r) as ONE contiguous DMA instead of
 # three wrap segments — only first/last tiles (whose halo actually wraps)
@@ -431,6 +433,29 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
     axes), optional in-register soft-threshold of the detail bands."""
     nb = 2**ndim
     vals = [_up(buf[...])]
+    # Surplus pre-trim (see _stream_band_tree): the 8-aligned sublane
+    # halo's dead columns would otherwise be multiplied by every earlier
+    # axis's taps; one vector-layout slice removes them up front.
+    ndim_v = vals[0].ndim
+    trim = [slice(None)] * ndim_v
+    eff_wl = []
+    trimmed = False
+    for ax in range(ndim - 1):
+        w_l, w_r, aligned = halos[ax]
+        K = taps_np_tuple[ax].shape[1]
+        h_l, h_r = K // 2 - 1, K // 2
+        if aligned and (w_l > h_l or w_r > h_r):
+            # leading-axis offset in the buffer view: halo axes sit at
+            # the same positions from the left in both buf and vals[0].
+            trim[ax + (ndim_v - ndim)] = slice(
+                w_l - h_l, w_l + tiles[ax] + h_r
+            )
+            eff_wl.append(h_l)
+            trimmed = True
+        else:
+            eff_wl.append(w_l)
+    if trimmed:
+        vals = [vals[0][tuple(trim)]]
     for ax in range(ndim):
         taps_np = taps_np_tuple[ax]
         K = taps_np.shape[1]
@@ -441,10 +466,9 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
             if use_roll:
                 lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None)
             else:
-                # leading axis: halo slices, start offset absorbs the
-                # (aligned) surplus halo: w_l - h_l with h_l = K//2-1.
-                w_l = halos[ax][0]
-                start0 = w_l - (K // 2 - 1)
+                # leading axis: halo slices, start offset absorbs any
+                # remaining surplus: eff_wl - h_l with h_l = K//2-1.
+                start0 = eff_wl[ax] - (K // 2 - 1)
                 acc_lo = acc_hi = None
                 for j in range(K):
                     idx = [slice(None)] * v.ndim
@@ -524,23 +548,26 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
         grid_ids = [pl.program_id(ax) for ax in range(n_lead)]
         if prefetch:
             # Linear step id (row-major; the TPU grid iterates the last
-            # axis fastest) and the NEXT step's grid ids, for issuing step
-            # s+1's input load while step s computes/writes.
+            # axis fastest): step ``s`` issues the input loads for step
+            # ``s + D - 1`` (D = prefetch depth) before computing, so a
+            # load has D-1 compute+write windows to complete. Steps
+            # 1..D-2 ahead are issued by step 0 only (start-up fill).
+            D = int(prefetch)
             lin = grid_ids[0]
             for ax in range(1, n_lead):
                 lin = lin * np.int32(ngrid[ax]) + grid_ids[ax]
             total = int(np.prod(ngrid))
-            slot_in = jax.lax.rem(lin, np.int32(2))
-            slot_nxt = jax.lax.rem(lin + np.int32(1), np.int32(2))
+            slot_in = jax.lax.rem(lin, np.int32(D))
             first = lin == np.int32(0)
-            last = lin == np.int32(total - 1)
-            nxt_ids = [None] * n_lead
-            carry = np.int32(1)
-            for ax in reversed(range(n_lead)):
-                v = grid_ids[ax] + carry
-                wrap = v == np.int32(ngrid[ax])
-                nxt_ids[ax] = jnp.where(wrap, np.int32(0), v)
-                carry = wrap.astype(jnp.int32)
+
+            def ids_of(linv):
+                out = []
+                r = linv
+                for ax in range(n_lead):
+                    stride = int(np.prod(ngrid[ax + 1 :], dtype=np.int64))
+                    out.append(jax.lax.div(r, np.int32(stride)))
+                    r = jax.lax.rem(r, np.int32(stride))
+                return out
 
             def in_copies(ids, slot):
                 return _seg_copies_one(
@@ -550,8 +577,16 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
 
             for c in in_copies(grid_ids, slot_in):
                 _CondCopy(first, c).start()
-            for c in in_copies(nxt_ids, slot_nxt):
-                _CondCopy(jnp.logical_not(last), c).start()
+            for k in range(1, D):
+                tgt = lin + np.int32(k)
+                exists = tgt <= np.int32(total - 1)
+                cond = exists if k == D - 1 else jnp.logical_and(
+                    first, exists
+                )
+                tgt_c = jnp.minimum(tgt, np.int32(total - 1))
+                for c in in_copies(ids_of(tgt_c),
+                                   jax.lax.rem(tgt_c, np.int32(D))):
+                    _CondCopy(cond, c).start()
             for c in in_copies(grid_ids, slot_in):
                 c.wait()
             buf_tile = buf.at[slot_in]
@@ -691,21 +726,26 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     # Knobbed write grouping / input prefetch (hardware-swept,
     # scripts/exp_dec_opt.py). Prefetch needs the plain unsharded segment
     # structure; grouping is mode-independent but VMEM-gated.
+    # ``prefetch`` is the slot-ring DEPTH (an int >= 2): a load issued at
+    # step s - (D-1) has D-1 compute+write windows to land; dropped to
+    # the deepest depth whose D-slot input buffer fits the VMEM model.
     bgroup = min(_DEC_LEVEL_BGROUP, _dec_bgroup(shape, tiles, ndim))
-    prefetch = (
-        _DEC_PREFETCH
-        and padded is None
-        and not slab_axes
-        and not wrap_axes
-        and int(np.prod(buf_tile)) * 2 + _live_estimate(tiles, shape, bgroup)
-        <= 2_900_000
-    )
+    prefetch = 0
+    if (_DEC_PREFETCH and padded is None and not slab_axes
+            and not wrap_axes):
+        for D in range(int(_DEC_PREFETCH), 1, -1):
+            if (int(np.prod(buf_tile)) * D
+                    + _live_estimate(tiles, shape, bgroup) <= 2_900_000):
+                prefetch = D
+                break
 
     B = big.shape[0]
     scratch = [
-        pltpu.VMEM(((2,) + buf_tile) if prefetch else buf_tile, x.dtype),
+        pltpu.VMEM(
+            ((prefetch,) + buf_tile) if prefetch else buf_tile, x.dtype
+        ),
         pltpu.VMEM((2, bgroup) + tuple(tiles) + (shape[-1],), x.dtype),
-        pltpu.SemaphoreType.DMA((2,)) if prefetch
+        pltpu.SemaphoreType.DMA((prefetch,)) if prefetch
         else pltpu.SemaphoreType.DMA,
         pltpu.SemaphoreType.DMA((2,)),
     ]
@@ -1100,11 +1140,32 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
     old band-serial form exactly; only the compute is re-associated
     (adjoint of the analysis tree in ``_dec_tile_compute``)."""
 
+    # Surplus pre-trim: the 8-aligned sublane halo is wider than the
+    # adjoint needs (w = round8(K//2) vs exact h_l = K//2, h_r = K//2-1),
+    # and the FIRST axis pass would multiply those dead columns on every
+    # tap. Slicing them off each band buffer once (a vector-layout slice,
+    # no DMA — odd sublane extents are fine for compute, the 8-multiple
+    # rule binds DMAs only) cuts ~12% of the tile's tap work at (32,32)
+    # db4. ``eff_wl[ax]`` is the post-trim left halo per axis.
+    trim = [slice(None)] * ndim  # applied after the slot axis is indexed
+    eff_wl = []
+    trimmed = False
+    for ax in range(ndim - 1):
+        w_l, w_r, aligned = halos[ax]
+        K = taps_np_tuple[ax].shape[1]
+        h_l, h_r = K // 2, K // 2 - 1
+        if aligned and (w_l > h_l or w_r > h_r):
+            trim[ax] = slice(w_l - h_l, w_l + tiles[ax] + h_r)
+            eff_wl.append(h_l)
+            trimmed = True
+        else:
+            eff_wl.append(w_l)
+    trim = tuple(trim)
+
     def axis_pass(v, ax, sel):
-        # One partial's adjoint along ``ax``. Leading axes: the over-wide
-        # W-halo is absorbed into the slice starts (no trimming copy:
-        # every live VMEM value counts against the 16MB scoped limit).
-        # Lane axis: circular pltpu.roll.
+        # One partial's adjoint along ``ax``. Leading axes: halo slices
+        # (no further trimming copy: every live VMEM value counts against
+        # the 16MB scoped limit). Lane axis: circular pltpu.roll.
         trow = taps_np_tuple[ax][sel][::-1]
         K = len(trow)
         o_adj = K // 2
@@ -1118,11 +1179,8 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
                     else v
                 )
             else:
-                # slice start: w_l - h_l skips surplus halo rows
-                # (h_l = K-1-o = K//2 for the adjoint anchor; zero
-                # surplus on outer axes).
                 h_l = K // 2
-                start = halos[ax][0] - h_l + j
+                start = eff_wl[ax] - h_l + j
                 idx2 = [slice(None)] * v.ndim
                 idx2[ax] = slice(start, start + tiles[ax])
                 r = v[tuple(idx2)]
@@ -1144,6 +1202,8 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
         for c in seg_copies(b, slot):
             c.wait()
         v = _up(bufs[np.int32(slot)])
+        if trimmed:
+            v = v[trim]
         v = axis_pass(v, 0, b & 1)
         d = 0
         while d < ndim - 1 and stack[d] is not None:
