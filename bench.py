@@ -432,10 +432,15 @@ def main():
             xs = sh.shard_input(x)
             dec_s = sh.dec_fn(level)
             rec_s = sh.rec_fn(level)
+            # HARDWARE exactness, not just throughput: interpret-mode CI
+            # has missed sharded tile-selection bugs before (the r2
+            # interior-vs-boundary lesson, CLAUDE.md).
+            errs = float(jnp.max(jnp.abs(rec_s(dec_s(xs)) - x)))
             tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
             log(f"3D {shape} {tag}(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
-                f"{nvox/tp/1e6:.1f} Mvox/s per chip")
+                f"{nvox/tp/1e6:.1f} Mvox/s per chip (err {errs:.2e})")
             _checkpoint(f"3D {tag} Mvox_s", round(nvox / tp / 1e6, 1))
+            _checkpoint(f"3D {tag} err", errs)
 
         # 4D sharded (the BASELINE config #5 compute path, scaled to 1 chip)
         shape4 = (32, 32, 16, 16) if FAST else (64, 64, 64, 32)
@@ -447,9 +452,14 @@ def main():
             jnp.asarray(rng.standard_normal(shape4), jnp.float32), dev
         )
         x4s = sh4.shard_input(x4)
+        err4s = float(jnp.max(jnp.abs(
+            sh4.rec_fn(level)(sh4.dec_fn(level)(x4s)) - x4
+        )))
         tp = time_pair(sh4.dec_fn(level), sh4.rec_fn(level), x4s, iters_4d)
         log(f"4D {shape4} x-sharded(1-dev mesh) db4 L{level} pair: "
-            f"{tp*1e3:.2f} ms -> {np.prod(shape4)/tp/1e6:.1f} Mvox/s per chip")
+            f"{tp*1e3:.2f} ms -> {np.prod(shape4)/tp/1e6:.1f} Mvox/s per "
+            f"chip (err {err4s:.2e})")
+        _checkpoint("4D x-sharded err", err4s)
         _checkpoint("4D x-sharded Mvox_s",
                     round(np.prod(shape4) / tp / 1e6, 1))
     except Exception as e:  # pragma: no cover

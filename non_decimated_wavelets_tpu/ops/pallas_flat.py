@@ -45,7 +45,10 @@ from .pallas_kernels import _compute_dtype, _up
 
 _ROWS = 8
 # ~8 live (8, P/8) arrays (approx, acc, rotate temps, stage, bufs) must fit
-# the 16MB scoped VMEM at Mosaic's ~2.4x accounting.
+# the 16MB scoped VMEM at Mosaic's ~2.4x accounting. Re-verified on
+# hardware AFTER the r4 tree factoring added 1-2 held partials per level:
+# budget-edge shapes (440^2 db4 L2 and 58^3 db2 L2, 8*padded = 1.55M
+# words) still compile and round-trip exactly (exp log 2026-08-20).
 _BUDGET_WORDS = 1_600_000
 
 

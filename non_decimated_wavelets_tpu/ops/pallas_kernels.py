@@ -731,9 +731,10 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     # the deepest depth whose D-slot input buffer fits the VMEM model.
     bgroup = min(_DEC_LEVEL_BGROUP, _dec_bgroup(shape, tiles, ndim))
     prefetch = 0
-    if (_DEC_PREFETCH and padded is None and not slab_axes
-            and not wrap_axes):
-        for D in range(int(_DEC_PREFETCH), 1, -1):
+    # Legacy boolean knob value: True means "on" = the shallowest ring.
+    want = 2 if _DEC_PREFETCH is True else int(_DEC_PREFETCH or 0)
+    if want and padded is None and not slab_axes and not wrap_axes:
+        for D in range(want, 1, -1):
             if (int(np.prod(buf_tile)) * D
                     + _live_estimate(tiles, shape, bgroup) <= 2_900_000):
                 prefetch = D
@@ -1012,13 +1013,13 @@ def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
 def _dec_bgroup(shape, tiles, ndim):
     """Largest detail-band write group whose extra stage liveness fits
     (the 2-slot stage grows from 2 to 2*G tiles on top of ``_dec_tiles``'
-    12-tile model)."""
-    tile_words = int(np.prod(tiles)) * shape[-1]
+    model — one liveness formula, ``_live_estimate``, governs both this
+    and the prefetch gate)."""
     nb = 2**ndim
     for g in (4, 2):
         if g >= nb:
             continue
-        if (12 + 2 * (g - 1)) * tile_words <= 2_400_000:
+        if _live_estimate(tiles, shape, g) <= 2_400_000:
             return g
     return 1
 

@@ -102,7 +102,7 @@ def main():
     for tiles, G, P, F, tag in variants:
         pk._DEC_TILES_OVERRIDE = tiles
         pk._DEC_LEVEL_BGROUP = G
-        pk._DEC_PREFETCH = P
+        pk._DEC_PREFETCH = 2 if P else 0
         pk._FUSE_INTERIOR = F
         try:
             dec_fn = jax.jit(lambda v: plan.dec(v, level, band_axis=0))
@@ -141,7 +141,7 @@ def main():
             continue
         pk._DEC_TILES_OVERRIDE = tiles
         pk._DEC_LEVEL_BGROUP = G
-        pk._DEC_PREFETCH = P
+        pk._DEC_PREFETCH = 2 if P else 0
         pk._FUSE_INTERIOR = F
         dec_fn = jax.jit(lambda v: plan.dec(v, level, band_axis=0))
         rec_fn = jax.jit(lambda v: plan.rec(v, band_axis=0))

@@ -77,7 +77,7 @@ def main():
         ref = None
         for F in (False, True):
             pk._FUSE_INTERIOR = F
-            pk._DEC_PREFETCH = False
+            pk._DEC_PREFETCH = 0
             try:
                 dec_fn = jax.jit(lambda v: plan.dec(v, level, band_axis=0))
                 rec_fn = jax.jit(lambda v: plan.rec(v, band_axis=0))
@@ -103,7 +103,7 @@ def main():
         x = jnp.asarray(x_np, dt)
         plan = nw.NDDWT(wavelet="db4", shape=shape, dtype=dt)
         pk._FUSE_INTERIOR = True
-        pk._DEC_PREFETCH = True
+        pk._DEC_PREFETCH = 2
         try:
             dec_fn = jax.jit(lambda v: plan.dec(v, level, band_axis=0))
             rec_fn = jax.jit(lambda v: plan.rec(v, band_axis=0))
@@ -114,7 +114,7 @@ def main():
             print(f"{tag_dt} P1+F1: FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
     pk._FUSE_INTERIOR = False
-    pk._DEC_PREFETCH = False
+    pk._DEC_PREFETCH = 0
 
 
 if __name__ == "__main__":

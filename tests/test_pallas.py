@@ -749,14 +749,15 @@ class TestMultiIterate:
 @pytest.mark.parametrize(
     "tiles,bgroup,prefetch,fuse",
     [
-        (None, 2, False, False),
-        (None, 4, False, False),
-        (None, 1, True, False),
-        (None, 4, True, False),
-        ((16, 24), 4, True, False),
-        ((8, 16), 2, True, False),
-        (None, 1, False, True),
-        (None, 4, True, True),
+        (None, 2, 0, False),
+        (None, 4, 0, False),
+        (None, 1, 2, False),
+        (None, 1, 3, False),
+        (None, 4, 2, False),
+        ((16, 24), 4, 2, False),
+        ((8, 16), 2, 3, False),
+        (None, 1, 0, True),
+        (None, 4, 2, True),
     ],
 )
 def test_dec_level_knob_variants(tiles, bgroup, prefetch, fuse, rng):
