@@ -41,7 +41,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _compute_dtype, _up
+from .pallas_kernels import _compute_dtype, _tree_expand, _tree_reduce, _up
 
 _ROWS = 8
 # ~8 live (8, P/8) arrays (approx, acc, rotate temps, stage, bufs) must fit
@@ -129,10 +129,10 @@ def _stream_analysis(v, taps_refs, shape, Ks, C, flat_idx, level, B, nb,
     S = _strides(shape)
     axoff = len(shape) - len(taps_refs)
     for lvl in range(level):
-        # Depth-first band tree (see pallas_resident._dec_phase): each
-        # axis pass computed once per node and shared by the bands below
-        # — (2+4+8)K passes instead of 8*3K for 3D at the same peak
-        # liveness. Leaves stream out in bit-reversed order (harmless).
+        # Depth-first band tree (_tree_expand): each axis pass computed
+        # once per node and shared by the bands below — (2+4+8)K passes
+        # instead of 8*3K for 3D at the same peak liveness. Leaves
+        # stream out in bit-reversed order (harmless).
         off -= nb - 1
         new_approx = [None]
 
@@ -153,19 +153,14 @@ def _stream_analysis(v, taps_refs, shape, Ks, C, flat_idx, level, B, nb,
             inflight[slot] = cp
             slot ^= 1
 
-        def expand(vv, ax, b):
-            if ax == len(taps_refs):
-                emit(b, vv)
-                return
-            o = Ks[ax] // 2 - 1
-            for s in (0, 1):
-                expand(
-                    _corr_flat(vv, taps_refs[ax], s, shape[ax + axoff],
-                               S[ax + axoff], C, flat_idx, o, False),
-                    ax + 1, b | (s << ax),
-                )
-
-        expand(approx, 0, 0)
+        _tree_expand(
+            len(taps_refs),
+            lambda v, ax, s: _corr_flat(
+                v, taps_refs[ax], s, shape[ax + axoff], S[ax + axoff],
+                C, flat_idx, Ks[ax] // 2 - 1, False,
+            ),
+            emit, approx,
+        )
         approx = new_approx[0]
     if inflight[slot] is not None:
         inflight[slot].wait()
@@ -215,13 +210,12 @@ def _stream_synthesis(taps_refs, shape, Ks, C, flat_idx, level, B, nb, scale,
     axoff = len(shape) - len(taps_refs)
     d_sp = len(taps_refs)
     for lvl in range(level):
-        # Tree-factored adjoint accumulation (binary-counter pairwise
-        # reduction, see pallas_kernels._stream_band_tree): axis 0 per
+        # Tree-factored adjoint accumulation (_tree_reduce): axis 0 per
         # band, axis d>0 on the summed 2^d bands — the kernels are
         # VPU-bound, so shared passes are the lever.
-        stack = [None] * max(d_sp - 1, 1)
-        lvl_acc = None
-        for b in range(nb):
+
+        def first_pass(b, acc=acc):
+            nonlocal step
             nxt = step + 1
             if nxt < len(reads):
                 inflight_r[nxt] = start_read(nxt, nxt % 2)
@@ -231,21 +225,17 @@ def _stream_synthesis(taps_refs, shape, Ks, C, flat_idx, level, B, nb, scale,
                 v = _up(bufs[np.int32(step % 2)])
             else:
                 v = acc
-            v = _corr_flat(v, taps_refs[0], b & 1, shape[axoff], S[axoff],
-                           C, flat_idx, Ks[0] // 2 - 1, True)
-            d = 0
-            while d < d_sp - 1 and stack[d] is not None:
-                v = stack[d] + v
-                stack[d] = None
-                v = _corr_flat(v, taps_refs[d + 1], (b >> (d + 1)) & 1,
-                               shape[d + 1 + axoff], S[d + 1 + axoff], C,
-                               flat_idx, Ks[d + 1] // 2 - 1, True)
-                d += 1
-            if d < d_sp - 1:
-                stack[d] = v
-            else:
-                lvl_acc = v if lvl_acc is None else lvl_acc + v
             step += 1
+            return _corr_flat(v, taps_refs[0], b & 1, shape[axoff],
+                              S[axoff], C, flat_idx, Ks[0] // 2 - 1, True)
+
+        lvl_acc = _tree_reduce(
+            nb, d_sp, first_pass,
+            lambda v, d, b: _corr_flat(
+                v, taps_refs[d], (b >> d) & 1, shape[d + axoff],
+                S[d + axoff], C, flat_idx, Ks[d] // 2 - 1, True,
+            ),
+        )
         acc = lvl_acc * scale if scale != 1.0 else lvl_acc
     return acc
 

@@ -435,9 +435,11 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
     vals = [_up(buf[...])]
     # Surplus pre-trim (see _stream_band_tree): the 8-aligned sublane
     # halo's dead columns would otherwise be multiplied by every earlier
-    # axis's taps; one vector-layout slice removes them up front.
-    ndim_v = vals[0].ndim
-    trim = [slice(None)] * ndim_v
+    # axis's taps; one vector-layout slice removes them up front. The
+    # buffer carries exactly the ndim spatial axes (both callers), so
+    # trim axes and the pass loop's idx[ax] index the same dims.
+    assert vals[0].ndim == ndim
+    trim = [slice(None)] * ndim
     eff_wl = []
     trimmed = False
     for ax in range(ndim - 1):
@@ -445,11 +447,7 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
         K = taps_np_tuple[ax].shape[1]
         h_l, h_r = K // 2 - 1, K // 2
         if aligned and (w_l > h_l or w_r > h_r):
-            # leading-axis offset in the buffer view: halo axes sit at
-            # the same positions from the left in both buf and vals[0].
-            trim[ax + (ndim_v - ndim)] = slice(
-                w_l - h_l, w_l + tiles[ax] + h_r
-            )
+            trim[ax] = slice(w_l - h_l, w_l + tiles[ax] + h_r)
             eff_wl.append(h_l)
             trimmed = True
         else:
@@ -684,11 +682,31 @@ def _dec_tiles(shape, taps_np):
     return None
 
 
-def _live_estimate(tiles, shape, bgroup):
-    """Rough live-words model of the per-level dec kernel's compute+stage
-    (the 12-tile term of ``_dec_tiles`` generalized to a grouped stage)."""
-    tile_words = int(np.prod(tiles)) * shape[-1]
-    return (10 + 2 * bgroup) * tile_words
+def _dec_live_model(shape, tiles, taps_np, bgroup=1, prefetch=0):
+    """Live-words model of the knobbed dec kernel — THE SAME base terms
+    ``_dec_tiles`` calibrated against Mosaic's 16MB scoped limit (buf +
+    fan-out stages + 12-tile compute/stage), extended by the knobs: the
+    grouped write stage grows by 2*(G-1) tiles and the prefetch ring
+    holds D-1 extra input buffers. One model governs the tile search,
+    the bgroup gate, and the prefetch-depth gate, all against the same
+    2.4M-word budget (an earlier looser prefetch gate admitted configs
+    ~20% past the calibrated ceiling on shapes never hardware-swept)."""
+    ndim = len(shape)
+    z = shape[-1]
+    tile_words = int(np.prod(tiles)) * z
+    if ndim == 2:
+        K0 = taps_np[0].shape[1]
+        ex0 = tiles[0] + 2 * _round8(K0 // 2)
+        buf = ex0 * z
+        base = buf + 8 * tiles[0] * z
+    else:
+        K0, K1 = taps_np[0].shape[1], taps_np[1].shape[1]
+        ex0 = tiles[0] + K0 - 1
+        ex1 = tiles[1] + 2 * _round8(K1 // 2)
+        buf = ex0 * ex1 * z
+        base = buf + 2 * tiles[0] * ex1 * z + 12 * tile_words
+    return (base + 2 * (bgroup - 1) * tile_words
+            + max(prefetch - 1, 0) * buf)
 
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
@@ -729,14 +747,13 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
     # ``prefetch`` is the slot-ring DEPTH (an int >= 2): a load issued at
     # step s - (D-1) has D-1 compute+write windows to land; dropped to
     # the deepest depth whose D-slot input buffer fits the VMEM model.
-    bgroup = min(_DEC_LEVEL_BGROUP, _dec_bgroup(shape, tiles, ndim))
+    bgroup = min(_DEC_LEVEL_BGROUP, _dec_bgroup(shape, tiles, taps_np, ndim))
     prefetch = 0
     # Legacy boolean knob value: True means "on" = the shallowest ring.
     want = 2 if _DEC_PREFETCH is True else int(_DEC_PREFETCH or 0)
     if want and padded is None and not slab_axes and not wrap_axes:
         for D in range(want, 1, -1):
-            if (int(np.prod(buf_tile)) * D
-                    + _live_estimate(tiles, shape, bgroup) <= 2_900_000):
+            if _dec_live_model(shape, tiles, taps_np, bgroup, D) <= 2_400_000:
                 prefetch = D
                 break
 
@@ -1010,16 +1027,16 @@ def _make_dec_multi_kernel(ndim, tiles, shape_sp, taps_np_tuple, level, B,
     return kernel
 
 
-def _dec_bgroup(shape, tiles, ndim):
+def _dec_bgroup(shape, tiles, taps_np, ndim):
     """Largest detail-band write group whose extra stage liveness fits
     (the 2-slot stage grows from 2 to 2*G tiles on top of ``_dec_tiles``'
-    model — one liveness formula, ``_live_estimate``, governs both this
+    model — one liveness formula, ``_dec_live_model``, governs both this
     and the prefetch gate)."""
     nb = 2**ndim
     for g in (4, 2):
         if g >= nb:
             continue
-        if _live_estimate(tiles, shape, g) <= 2_400_000:
+        if _dec_live_model(shape, tiles, taps_np, bgroup=g) <= 2_400_000:
             return g
     return 1
 
@@ -1046,7 +1063,7 @@ def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
         tiles[ax] + halos[ax][0] + halos[ax][1] for ax in range(n_lead)
     ) + (shape[-1],)
     nping = 1 if level == 2 else 2
-    bgroup = _dec_bgroup(shape, tiles, ndim)
+    bgroup = _dec_bgroup(shape, tiles, taps_np, ndim)
     big = jnp.empty((B,) + shape, x.dtype)
     out = pl.pallas_call(
         _make_dec_multi_kernel(ndim, tiles, shape, taps_np, level, B, nping,
@@ -1126,6 +1143,48 @@ def _rec_halos(ndim, taps_np_tuple):
     return halos
 
 
+def _tree_reduce(nb, d_sp, first_pass, merge_pass):
+    """Binary-counter pairwise band reduction — THE one home for the
+    tree-factored adjoint's carry-chain logic (used by the streaming,
+    resident and flat synthesis bodies). ``first_pass(b)`` yields band
+    ``b``'s value after its axis-0 pass (including any DMA waits);
+    ``merge_pass(v, d, b)`` applies axis ``d`` to the sum of the 2^d
+    bands sharing ``b``'s higher bits. Returns the accumulated total."""
+    stack = [None] * max(d_sp - 1, 1)
+    acc = None
+    for b in range(nb):
+        v = first_pass(b)
+        d = 0
+        while d < d_sp - 1 and stack[d] is not None:
+            v = stack[d] + v
+            stack[d] = None
+            v = merge_pass(v, d + 1, b)
+            d += 1
+        if d < d_sp - 1:
+            stack[d] = v
+        else:
+            acc = v if acc is None else acc + v
+    return acc
+
+
+def _tree_expand(d_sp, axis_pass, emit, root):
+    """Depth-first analysis band tree (the reduction's dual, shared by
+    the resident and flat analysis bodies): each ``axis_pass(v, ax, sel)``
+    is computed once per tree node and shared by the 2^(d-ax-1) bands
+    below it; ``emit(b, val)`` receives the leaves in bit-reversed band
+    order (writes are independent — order is irrelevant). Peak liveness
+    = one intermediate per axis on the recursion path."""
+
+    def rec(v, ax, b):
+        if ax == d_sp:
+            emit(b, v)
+            return
+        for s in (0, 1):
+            rec(axis_pass(v, ax, s), ax + 1, b | (s << ax))
+
+    rec(root, 0, 0)
+
+
 def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
                       seg_copies):
     """Streaming synthesis band loop shared by the per-level and the
@@ -1192,9 +1251,8 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
     for pre in range(min(NSLOT - 1, nb)):
         for c in seg_copies(pre, pre % NSLOT):
             c.start()
-    stack = [None] * max(ndim - 1, 1)
-    acc = None
-    for b in range(nb):
+
+    def first_pass(b):
         slot = b % NSLOT
         nxt = b + NSLOT - 1
         if nxt < nb:
@@ -1205,18 +1263,12 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
         v = _up(bufs[np.int32(slot)])
         if trimmed:
             v = v[trim]
-        v = axis_pass(v, 0, b & 1)
-        d = 0
-        while d < ndim - 1 and stack[d] is not None:
-            v = stack[d] + v
-            stack[d] = None
-            v = axis_pass(v, d + 1, (b >> (d + 1)) & 1)
-            d += 1
-        if d < ndim - 1:
-            stack[d] = v
-        else:
-            acc = v if acc is None else acc + v
-    return acc
+        return axis_pass(v, 0, b & 1)
+
+    return _tree_reduce(
+        nb, ndim, first_pass,
+        lambda v, d, b: axis_pass(v, d, (b >> d) & 1),
+    )
 
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,

@@ -28,7 +28,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _compute_dtype, _up
+from .pallas_kernels import _compute_dtype, _tree_expand, _tree_reduce, _up
 
 # VMEM working-set budget in f32 words: array x ~6 live copies (input,
 # accumulator, one roll, stage buffers) — sized to admit 512^2 f32.
@@ -168,12 +168,9 @@ def _dec_phase(x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
     slot = 0
     off = B
     for lvl in range(level):
-        # Depth-first band tree: each axis pass is computed ONCE per tree
-        # node and shared by the 2^(d-ax-1) bands below it — (2+4+8)K
-        # passes instead of 8*3K for 3D, at the same peak liveness as the
-        # per-band form (one intermediate per axis on the recursion
-        # path). Leaves stream to HBM in bit-reversed band order (writes
-        # are independent; order is irrelevant).
+        # Depth-first band tree (_tree_expand): each axis pass is computed
+        # ONCE per node and shared by the bands below it — (2+4+8)K
+        # passes instead of 8*3K for 3D, at unchanged peak liveness.
         off -= nb - 1
         new_approx = [None]
 
@@ -187,18 +184,13 @@ def _dec_phase(x_hbm, taps_refs, out_hbm, xbuf, stage, sem_in, sem_out,
             inflight[slot] = write_band(off + b - 1, shrink(val), slot)
             slot ^= 1
 
-        def expand(v, ax, b):
-            if ax == ndim_sp:
-                emit(b, v)
-                return
-            o = Ks[ax] // 2 - 1
-            for s in (0, 1):
-                expand(
-                    _corr_fori(v, taps_refs[ax], s, ax + ax_off, o, False),
-                    ax + 1, b | (s << ax),
-                )
-
-        expand(approx, 0, 0)
+        _tree_expand(
+            ndim_sp,
+            lambda v, ax, s: _corr_fori(
+                v, taps_refs[ax], s, ax + ax_off, Ks[ax] // 2 - 1, False
+            ),
+            emit, approx,
+        )
         approx = new_approx[0]
     if inflight[slot] is not None:
         inflight[slot].wait()
@@ -241,15 +233,14 @@ def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
     acc = None
     step = 0
     for lvl in range(level):
-        # Tree-factored adjoint accumulation (binary-counter pairwise
-        # reduction, see pallas_kernels._stream_band_tree): axis 0 per
+        # Tree-factored adjoint accumulation (_tree_reduce): axis 0 per
         # band, axis d>0 on the SUM of the 2^d bands sharing its higher
         # bits — (8+4+2)K passes instead of 8*3K for 3D. These kernels
         # are VPU-bound (scripts/exp_rec_fuse.py), so shared passes are
         # the lever; stream order is unchanged.
-        stack = [None] * max(ndim_sp - 1, 1)
-        lvl_acc = None
-        for b in range(nb):
+
+        def first_pass(b, acc=acc):
+            nonlocal step
             nxt = step + 1
             if nxt < len(reads):
                 inflight[nxt] = start_read(nxt, nxt % 2)
@@ -259,23 +250,18 @@ def _rec_phase(y_hbm, taps_refs, ndim_sp, Ks, level, nb, scale, ax_off,
                 v = _up(bufs[np.int32(step % 2)])
             else:
                 v = acc  # running approximation, already in VMEM
-            v = _corr_fori(
+            step += 1
+            return _corr_fori(
                 v, taps_refs[0], b & 1, ax_off, Ks[0] // 2 - 1, True
             )
-            d = 0
-            while d < ndim_sp - 1 and stack[d] is not None:
-                v = stack[d] + v
-                stack[d] = None
-                v = _corr_fori(
-                    v, taps_refs[d + 1], (b >> (d + 1)) & 1,
-                    d + 1 + ax_off, Ks[d + 1] // 2 - 1, True,
-                )
-                d += 1
-            if d < ndim_sp - 1:
-                stack[d] = v
-            else:
-                lvl_acc = v if lvl_acc is None else lvl_acc + v
-            step += 1
+
+        lvl_acc = _tree_reduce(
+            nb, ndim_sp, first_pass,
+            lambda v, d, b: _corr_fori(
+                v, taps_refs[d], (b >> d) & 1, d + ax_off,
+                Ks[d] // 2 - 1, True,
+            ),
+        )
         acc = lvl_acc * scale if scale != 1.0 else lvl_acc
     return acc
 
