@@ -601,6 +601,34 @@ def _rec_body_pallas4(y, taps_np, level, preserve_l2, axis_names, local_shape):
     return acc.reshape(tuple(local_shape))
 
 
+def _streamed_pair(x, dec_approx, dec_full, rec1, level):
+    """Level-streamed fused iterate: dec -> shrink(details) -> rec with the
+    cascade re-ordered so the full ``(B, *local)`` band array is NEVER
+    materialized — the memory layout that makes BASELINE config #5
+    (512^3 x 64 db4 L3: a 1.58 TB band array) tractable (SURVEY §7 hard
+    part 4; DESIGN.md "Config #5 memory layout").
+
+    Structure: recompute-on-the-way-up. Descending, only the running
+    approximation is computed (``dec_approx``); ascending, each level's
+    full band set is (re)computed, its details shrunk in-kernel, and the
+    level synthesized immediately (``dec_full`` + ``rec1``). Peak live
+    bands = ONE level's ``2^d`` plus the ``level`` retained approximations
+    — ``(level + 2^d + O(1)) x numel`` instead of ``(B + O(1)) x numel``.
+    Cost: one extra analysis pass per non-deepest level (~+25% pair FLOPs
+    at 4D L3), the classic rematerialization trade."""
+
+    def go(a, lvl):
+        if lvl == level - 1:
+            bands = dec_full(a)
+            deep = bands[0]
+        else:
+            deep = go(dec_approx(a), lvl + 1)
+            bands = dec_full(a)
+        return rec1(jnp.concatenate([deep[None], bands[1:]], axis=0))
+
+    return go(x, 0)
+
+
 class ShardedNDDWT:
     """A plan bound to a mesh and a spatial partitioning.
 
@@ -864,6 +892,112 @@ class ShardedNDDWT:
 
     def dec_rec(self, x, level: int, threshold: float = 0.0):
         return self.dec_rec_fn(level, threshold)(x)
+
+    # ------------------------------------------------- level-streamed iterate
+    def dec_rec_streamed_fn(self, level: int, threshold: float = 0.0):
+        """Jitted level-streamed fused iterate ``x -> reconstruction``
+        (bands are never returned — not materializing them is the point).
+
+        This is the BASELINE-config-#5 memory layout (see
+        :func:`_streamed_pair` and DESIGN.md): per-chip peak band memory
+        is ``(level + 2^d + O(1))`` local volumes instead of
+        ``B + O(1) = 2^d + (2^d-1)(level-1) + O(1)`` — for 4D db4 L3,
+        ~25x the local volume instead of ~51x, at ~+25% analysis FLOPs.
+        Use :meth:`dec_rec` when the band array is needed or fits."""
+        level = int(level)
+        threshold = float(threshold)
+        key = ("streamed", level, threshold)
+        if key not in self._dec_cache:
+            if self.use_pallas:
+                taps_np = tuple(np.asarray(t) for t in self.plan.taps_hp)
+                is4 = self.plan.ndim == 4
+                dec_body = _dec_body_pallas4 if is4 else _dec_body_pallas
+                rec_body = _rec_body_pallas4 if is4 else _rec_body_pallas
+                dec1 = partial(
+                    dec_body, taps_np=taps_np, level=1,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+                rec1 = partial(
+                    rec_body, taps_np=taps_np, level=1,
+                    preserve_l2=self.plan.preserve_l2,
+                    axis_names=self.spec, local_shape=self._local_shape,
+                )
+
+                def body(x):
+                    return _streamed_pair(
+                        x,
+                        dec_approx=lambda a: dec1(a)[0],
+                        dec_full=lambda a: dec1(a, lam=threshold),
+                        rec1=rec1,
+                        level=level,
+                    )
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(self.x_spec,),
+                    out_specs=self.x_spec, check_vma=False,
+                )
+                self._dec_cache[key] = jax.jit(mapped)
+            else:
+
+                def body(x, taps):
+                    def dec1_full(a):
+                        bands = _level1_dec_sharded(a, taps, self.spec)
+                        if threshold:
+                            from ..ops.pallas_kernels import (
+                                _shrink_details_xla,
+                            )
+
+                            bands = _shrink_details_xla(bands, threshold)
+                        return bands
+
+                    def rec1(group):
+                        acc = _level1_rec_sharded(group, taps, self.spec)
+                        if not self.plan.preserve_l2:
+                            acc = acc / (2**self.plan.ndim)
+                        return acc
+
+                    return _streamed_pair(
+                        x,
+                        dec_approx=lambda a: _level1_dec_sharded(
+                            a, taps, self.spec
+                        )[0],
+                        dec_full=dec1_full,
+                        rec1=rec1,
+                        level=level,
+                    )
+
+                mapped = jax.shard_map(
+                    body, mesh=self.mesh, in_specs=(self.x_spec, P()),
+                    out_specs=self.x_spec,
+                )
+                self._dec_cache[key] = jax.jit(
+                    lambda x: mapped(x, self.plan.taps)
+                )
+        return self._dec_cache[key]
+
+    def dec_rec_streamed(self, x, level: int, threshold: float = 0.0):
+        return self.dec_rec_streamed_fn(level, threshold)(x)
+
+    def peak_memory_model(self, level: int) -> dict:
+        """Per-chip peak-memory model (bytes) of the two iterate layouts
+        — the feasibility math for BASELINE config #5 (documented with
+        worked numbers in DESIGN.md "Config #5 memory layout")."""
+        level = int(level)
+        nb = 2**self.plan.ndim
+        B = num_bands(self.plan.ndim, level)
+        local_vox = int(np.prod(self._local_shape))
+        item = jnp.dtype(self.plan.real_dtype).itemsize
+        # two-stage 4D kernels hold a (4, *local) temp per level; 2D/3D
+        # write bands straight from VMEM staging.
+        temp = 4 if self.plan.ndim == 4 else 1
+        full = (B + 2 + temp) * local_vox * item
+        streamed = (level + 1 + nb + 1 + temp) * local_vox * item
+        return {
+            "local_voxels": local_vox,
+            "full_band_layout_bytes": int(full),
+            "streamed_layout_bytes": int(streamed),
+            "ratio": full / streamed,
+        }
 
     # ---------------------------------------------------------- split-complex
     # Complex data on the complex-less TPU backend rides as a split re/im

@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--mesh", default="x=2,y=1", help="axis=size pairs, comma-sep")
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument(
+        "--streamed", action="store_true",
+        help="use the level-streamed fused iterate (config-#5 memory "
+        "layout: one level's bands live at a time — see DESIGN.md)",
+    )
     p.add_argument("--coordinator", default=None)
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
@@ -94,6 +99,12 @@ def main():
 
     dec = sh.dec_fn(args.level)
     rec = sh.rec_fn(args.level)
+    if args.streamed:
+        pair = sh.dec_rec_streamed_fn(args.level)
+        mem = sh.peak_memory_model(args.level)
+    else:
+        pair = lambda v: rec(dec(v))
+        mem = None
 
     def sync(a):
         return float(jnp.sum(jnp.ravel(a)[:1]))
@@ -103,7 +114,7 @@ def main():
     @jax.jit
     def loop(v):
         def body(c, _):
-            return rec(dec(c)), None
+            return pair(c), None
 
         out, _ = lax.scan(body, v, None, length=args.iters)
         return out
@@ -118,27 +129,26 @@ def main():
     # Single-pair reconstruction error plus the accumulated error of the
     # whole `iters`-deep identity chain (both computed sharded — no host
     # gather of the global volume).
-    err1 = float(jnp.max(jnp.abs(rec(dec(x)) - x)))
+    err1 = float(jnp.max(jnp.abs(pair(x) - x)))
     err = float(jnp.max(jnp.abs(out - x)))
 
     if jax.process_index() == 0:
-        print(
-            json.dumps(
-                {
-                    "metric": f"voxels/sec, {args.level}-level {args.wavelet} "
-                    f"NDDWT dec+rec, shape {shape}, {n_chips} chips",
-                    "seconds_per_pair": dt,
-                    "voxels_per_sec": nvox / dt,
-                    "voxels_per_sec_per_chip": nvox / dt / n_chips,
-                    "iters": args.iters,
-                    "processes": jax.process_count(),
-                    "devices": n_chips,
-                    "max_abs_roundtrip_err_1pair": err1,
-                    "max_abs_roundtrip_err_accumulated": err,
-                }
-            ),
-            flush=True,
-        )
+        rec_obj = {
+            "metric": f"voxels/sec, {args.level}-level {args.wavelet} "
+            f"NDDWT dec+rec, shape {shape}, {n_chips} chips"
+            + (" [level-streamed layout]" if args.streamed else ""),
+            "seconds_per_pair": dt,
+            "voxels_per_sec": nvox / dt,
+            "voxels_per_sec_per_chip": nvox / dt / n_chips,
+            "iters": args.iters,
+            "processes": jax.process_count(),
+            "devices": n_chips,
+            "max_abs_roundtrip_err_1pair": err1,
+            "max_abs_roundtrip_err_accumulated": err,
+        }
+        if mem is not None:
+            rec_obj["streamed_peak_model"] = mem
+        print(json.dumps(rec_obj), flush=True)
 
 
 if __name__ == "__main__":

@@ -422,3 +422,64 @@ def test_sharded_dec_rec_split_matches_complex(use_pallas, rng):
     np.testing.assert_allclose(
         np.asarray(xr[0]) + 1j * np.asarray(xr[1]), xref, atol=atol
     )
+
+
+@pytest.mark.parametrize(
+    "shape,wv,spec,mesh_shape,level,pallas",
+    [
+        # XLA bodies (f64-exact check vs the plain pair)
+        ((16, 16, 12), "db2", ("x", "y", None), {"x": 2, "y": 2}, 2, False),
+        ((16, 8, 6, 6), "db1", ("x", None, None, None), {"x": 4}, 2, False),
+        # Pallas bodies (interpret mode), 3D and 4D
+        ((32, 32, 128), "db4", ("x", None, None), {"x": 2}, 3, True),
+        ((16, 16, 8, 16), "db2", ("x", "y", None, None), {"x": 2, "y": 2},
+         2, True),
+    ],
+)
+@pytest.mark.parametrize("threshold", [0.0, 0.1])
+def test_streamed_pair_matches_classic(shape, wv, spec, mesh_shape, level,
+                                       pallas, threshold, rng):
+    """The level-streamed fused iterate (BASELINE config #5 memory
+    layout: one level's bands live at a time, recompute-on-the-way-up)
+    must equal the classic materialize-all-bands iterate exactly."""
+    _skip_if_few_devices(int(np.prod(list(mesh_shape.values()))))
+    mesh = make_mesh(mesh_shape)
+    dt = jnp.float32 if pallas else "double"
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=dt)
+    sh = ShardedNDDWT(plan, mesh, spec, use_pallas=pallas)
+    x = rng.standard_normal(shape)
+    if pallas:
+        x = x.astype(np.float32)
+    xs = sh.shard_input(jnp.asarray(x))
+    if pallas:
+        with pltpu.force_tpu_interpret_mode():
+            xr_s = sh.dec_rec_streamed(xs, level, threshold)
+            _, xr_c = sh.dec_rec(xs, level, threshold)
+        atol = 1e-5
+    else:
+        xr_s = sh.dec_rec_streamed(xs, level, threshold)
+        _, xr_c = sh.dec_rec(xs, level, threshold)
+        atol = 1e-12
+    np.testing.assert_allclose(np.asarray(xr_s), np.asarray(xr_c),
+                               atol=atol)
+    if not threshold:
+        np.testing.assert_allclose(np.asarray(xr_s), np.asarray(x),
+                                   atol=max(atol, 1e-5 if pallas else 1e-12))
+
+
+def test_peak_memory_model_config5_math():
+    """The config-#5 feasibility numbers documented in DESIGN.md follow
+    from the model: 512^3 x 64 db4 L3 f32 full-band layout is ~1.8 TB
+    total vs ~0.86 TB streamed (2.08x), i.e. >=115 v5e chips vs >=55."""
+    mesh = make_mesh({"x": 1})
+    plan = nw.NDDWT(wavelet="db4", shape=(64, 64, 64, 32),
+                    dtype=jnp.float32)
+    sh = ShardedNDDWT(plan, mesh, ("x", None, None, None),
+                      use_pallas=False)
+    m = sh.peak_memory_model(3)
+    # B=46 full vs streamed 3+1+16+1+4=25 local volumes
+    vox = 64 * 64 * 64 * 32
+    assert m["local_voxels"] == vox
+    assert m["full_band_layout_bytes"] == (46 + 2 + 4) * vox * 4
+    assert m["streamed_layout_bytes"] == 25 * vox * 4
+    assert 2.0 < m["ratio"] < 2.2
