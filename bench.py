@@ -315,6 +315,42 @@ def main():
     except Exception as e:  # pragma: no cover
         log(f"f64 accuracy run failed: {e!r}")
 
+    # ---------------- f64 THROUGHPUT (compensated double-f32 kernels) ----
+    # The driver target couples throughput and accuracy: ">=100x the MEX
+    # single-core baseline at <=1e-12 max-abs error" (BASELINE.md:19-20).
+    # This config demonstrates BOTH on one line: the df32 kernels
+    # (ops/pallas_df32.py — error-free-transformation f32 pairs, ~47-bit
+    # mantissa) at the flagship 256^3 size. The error is GATED, not just
+    # logged: EFT correctness depends on the compiler preserving rounding
+    # structure, so a toolchain update that breaks it must fail the run.
+    try:
+        shape64 = (128, 128, 128) if FAST else (256, 256, 256)
+        p64t = nw.NDDWT(wavelet=wavelet, shape=shape64, dtype=jnp.float64)
+        path64 = p64t._resolve_path(is_complex=False)
+        x64v = jax.device_put(
+            jnp.asarray(rng.standard_normal(shape64)), dev
+        )
+        d64 = jax.jit(lambda v: p64t.dec(v, level, band_axis=0))
+        r64 = jax.jit(lambda v: p64t.rec(v, band_axis=0))
+        err64t = float(jnp.max(jnp.abs(r64(d64(x64v)) - x64v)))
+        if not (err64t < 1e-12):
+            _checkpoint("f64 throughput FAILED_err", err64t)
+            raise RuntimeError(
+                f"f64 (df32) accuracy gate FAILED: {err64t:.3e} >= 1e-12"
+            )
+        t64 = time_pair(d64, r64, x64v, 2 if FAST else 5)
+        v64 = np.prod(shape64) / t64
+        log(f"3D {shape64} db4 L{level} f64[{path64}]: {t64*1e3:.1f} "
+            f"ms/pair -> {v64/1e6:.2f} Mvox/s at err {err64t:.2e} "
+            f"({v64/base_vps:.0f}x single-core baseline; target >=100x "
+            "at <=1e-12)")
+        _checkpoint("f64_3D_Mvox_s", round(v64 / 1e6, 2))
+        _checkpoint("f64_3D_err", err64t)
+        _checkpoint("f64_vs_baseline_x", round(v64 / base_vps, 1))
+        del x64v
+    except Exception as e:  # pragma: no cover
+        log(f"f64 throughput config failed: {e!r}")
+
     # Small configs (1D/2D) use the fused dec_rec pair — one kernel launch
     # per iterate on resident shapes (the launch floor otherwise dominates:
     # ~1.5 ms/launch through the tunnel).

@@ -289,6 +289,15 @@ class NDDWT:
         on_accel = jax.default_backend() != "cpu"
         if self.real_dtype == jnp.dtype(jnp.float64):
             if on_accel:
+                # Compensated double-f32 Pallas kernels serve the f64
+                # contract (~1e-13) at Pallas speed where they tile; the
+                # XLA direct path (emulated f64, measured 28.8 Mvox/s at
+                # 256^3 vs the 59.5 target) is the fallback.
+                from .ops import pallas_df32
+
+                taps_np = tuple(np.asarray(t) for t in self.taps_hp)
+                if pallas_df32.supported(self.shape, taps_np):
+                    return "pallas"
                 self._warn_f64_odd_on_accel()
             return "direct"
         # On accelerators, route through the Pallas kernel families — never
@@ -338,9 +347,14 @@ class NDDWT:
             if path == "fft":
                 y = fft_path.dec_fft(x, self.resp, level, real_out=not is_complex)
             elif path == "pallas":
-                from .ops import pallas_kernels
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
 
-                y = pallas_kernels.dec_pallas(x, self.taps_hp, level)
+                    y = pallas_df32.dec64(x, self.taps_hp, level)
+                else:
+                    from .ops import pallas_kernels
+
+                    y = pallas_kernels.dec_pallas(x, self.taps_hp, level)
             else:
                 y = direct_path.dec_direct(x, self.taps, level)
         # Pin the plan dtype: the FFT path computes in complex64/128, whose
@@ -380,9 +394,16 @@ class NDDWT:
                     y, self.resp, level, self.preserve_l2, real_out=not is_complex
                 )
             elif path == "pallas":
-                from .ops import pallas_kernels
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
 
-                x = pallas_kernels.rec_pallas(y, self.taps_hp, level, self.preserve_l2)
+                    x = pallas_df32.rec64(y, self.taps_hp, level,
+                                          self.preserve_l2)
+                else:
+                    from .ops import pallas_kernels
+
+                    x = pallas_kernels.rec_pallas(y, self.taps_hp, level,
+                                                  self.preserve_l2)
             else:
                 x = direct_path.rec_direct(y, self.taps, level, self.preserve_l2)
         return x.astype(self.complex_dtype if is_complex else self.real_dtype)
@@ -412,8 +433,9 @@ class NDDWT:
         is_complex = jnp.iscomplexobj(x)
         x = x.astype(self.complex_dtype if is_complex else self.real_dtype)
         path = self._resolve_path(is_complex)
+        is_f64 = self.real_dtype == jnp.dtype(jnp.float64)
         y = None
-        if path == "pallas" and not is_complex:
+        if path == "pallas" and not is_complex and not is_f64:
             from .ops import pallas_flat, pallas_kernels, pallas_resident
 
             taps_np = tuple(np.asarray(t) for t in self.taps_hp)
@@ -452,7 +474,8 @@ class NDDWT:
                     y, xr = pallas_flat.pair_flat(
                         x, taps_np, level, self.preserve_l2, float(threshold)
                     )
-        if y is None and path == "pallas" and not is_complex and threshold:
+        if (y is None and path == "pallas" and not is_complex
+                and not is_f64 and threshold):
             # Tiled shapes: the shrink rides the dec kernels' band writes
             # (in-register, zero extra HBM traffic) instead of a separate
             # XLA detail-band pass at this device's ~55 GB/s.
@@ -598,9 +621,16 @@ class NDDWT:
         path = self._resolve_path(is_complex)
         with jax.named_scope(f"nddwt.dec_batched.{path}.L{level}"):
             if path == "pallas":
-                from .ops import pallas_kernels
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
 
-                f = lambda v: pallas_kernels.dec_pallas(v, self.taps_hp, level)
+                    f = lambda v: pallas_df32.dec64(v, self.taps_hp, level)
+                else:
+                    from .ops import pallas_kernels
+
+                    f = lambda v: pallas_kernels.dec_pallas(
+                        v, self.taps_hp, level
+                    )
                 if x.shape[0] <= 16:
                     # Unrolled: no loop-carry overhead, and works in the
                     # interpret-mode CI (whose io-callback effect cannot
@@ -631,11 +661,18 @@ class NDDWT:
         path = self._resolve_path(is_complex)
         with jax.named_scope(f"nddwt.rec_batched.{path}.L{level}"):
             if path == "pallas":
-                from .ops import pallas_kernels
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
 
-                f = lambda v: pallas_kernels.rec_pallas(
-                    v, self.taps_hp, level, self.preserve_l2
-                )
+                    f = lambda v: pallas_df32.rec64(
+                        v, self.taps_hp, level, self.preserve_l2
+                    )
+                else:
+                    from .ops import pallas_kernels
+
+                    f = lambda v: pallas_kernels.rec_pallas(
+                        v, self.taps_hp, level, self.preserve_l2
+                    )
                 if y.shape[0] <= 16:
                     return jnp.stack([f(y[i]) for i in range(y.shape[0])])
                 return jax.lax.map(f, y)
@@ -672,6 +709,11 @@ class NDDWT:
         path = self._resolve_path(is_complex=False)
         with jax.named_scope(f"nddwt.dec_split.{path}.L{level}"):
             if path == "pallas":
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
+
+                    f = lambda v: pallas_df32.dec64(v, self.taps_hp, level)
+                    return jnp.stack([f(x_pair[0]), f(x_pair[1])])
                 from .ops import pallas_flat, pallas_kernels
 
                 taps_np = tuple(np.asarray(t) for t in self.taps_hp)
@@ -709,6 +751,13 @@ class NDDWT:
         path = self._resolve_path(is_complex=False)
         with jax.named_scope(f"nddwt.rec_split.{path}.L{level}"):
             if path == "pallas":
+                if self.real_dtype == jnp.dtype(jnp.float64):
+                    from .ops import pallas_df32
+
+                    f = lambda v: pallas_df32.rec64(
+                        v, self.taps_hp, level, self.preserve_l2
+                    )
+                    return jnp.stack([f(y_pair[0]), f(y_pair[1])])
                 from .ops import pallas_flat, pallas_kernels
 
                 taps_np = tuple(np.asarray(t) for t in self.taps_hp)

@@ -152,11 +152,18 @@ def test_resolve_path_never_direct_on_accel(monkeypatch):
     p64 = nw.NDDWT(wavelet="db4", shape=(164, 64, 40), dtype=jnp.float64)
     with pytest.warns(UserWarning, match="float64"):
         assert p64._resolve_path(is_complex=False) == "direct"
-    # f64 on the proven class stays silent
+    # f64 on the tiled class rides the compensated df32 kernels, silently
     p64ok = nw.NDDWT(wavelet="db4", shape=(256, 256, 256),
                      dtype=jnp.float64)
     import warnings
 
     with warnings.catch_warnings():
         warnings.simplefilter("error")
-        assert p64ok._resolve_path(is_complex=False) == "direct"
+        assert p64ok._resolve_path(is_complex=False) == "pallas"
+    # f64 on the 128-multiple class NOT served by df32 (4D) stays on the
+    # direct path without the odd-shape warning
+    p64d = nw.NDDWT(wavelet="db4", shape=(128, 128, 128, 128),
+                    dtype=jnp.float64)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert p64d._resolve_path(is_complex=False) == "direct"
