@@ -695,6 +695,23 @@ class ShardedNDDWT:
             import jax as _jax
 
             self.use_pallas = feasible and _jax.default_backend() != "cpu"
+            if not feasible and _jax.default_backend() != "cpu":
+                # The XLA shard bodies are correct but on this TPU backend
+                # odd-shape XLA programs have wedged the remote worker
+                # (CLAUDE.md); unlike the single-chip plan (which refuses,
+                # plan._resolve_path), sharded users may be on hardware
+                # where the XLA lowering is fine — warn loudly instead.
+                import warnings
+
+                warnings.warn(
+                    f"local shard shape {self._local_shape} does not "
+                    "support the fused Pallas kernels; the sharded "
+                    "transform will use XLA shard bodies, which are both "
+                    "~8x slower and a known odd-shape wedge hazard on "
+                    "tunneled v5e backends. Prefer shard counts/extents "
+                    "with a 128-multiple local lane axis.",
+                    stacklevel=2,
+                )
         else:
             self.use_pallas = bool(use_pallas)
             if self.use_pallas and not feasible:
