@@ -53,7 +53,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_kernels import _compute_dtype, _tree_expand, _tree_reduce, _up
+from .pallas_kernels import _compute_dtype, _tree_reduce, _up
 
 # Live-VMEM budget in f32 words (Mosaic's scoped accounting is ~2.4x a
 # naive stage-sum; calibrated in pallas_kernels._dec_tiles).
@@ -228,6 +228,34 @@ def _corr_trailing(v, taps_ref, sel, N, St, S, flat_mod_ax, sub_mod,
     return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
 
 
+def _corr_trailing_pair(v, taps_ref, N, St, S, flat_mod_ax, sub_mod,
+                        lane_idx, o):
+    """(lo, hi) analysis correlation pair along one trailing axis, both
+    filter rows sharing every (expensive) blocked rotate — the rotates
+    are ~10 vector ops each, so sharing them across the pair halves the
+    dec kernels' dominant cost (the ``pallas_kernels._pass_pair`` /
+    ``pallas_4d._lane_pair`` trick, applied to the ragged rotates)."""
+    K = taps_ref.shape[1]
+
+    def cond(carry):
+        return carry[0] < np.int32(K)
+
+    def body(carry):
+        j, alo, ahi = carry
+        s = jax.lax.rem(np.int32(o) - j + np.int32(16 * N), np.int32(N))
+        r = _axis_shift(v, s, N, St, S, flat_mod_ax, sub_mod, lane_idx)
+        return (
+            j + np.int32(1),
+            alo + taps_ref[np.int32(0), j] * r,
+            ahi + taps_ref[np.int32(1), j] * r,
+        )
+
+    j0 = jnp.asarray(0, jnp.int32)
+    z = jnp.zeros_like(v)
+    _, lo, hi = jax.lax.while_loop(cond, body, (j0, z, z))
+    return lo, hi
+
+
 def _masks(t, S, shape, strides):
     """(sub_mod, lane_idx, flat_mod per trailing axis) for (t*S, 128)
     values."""
@@ -315,19 +343,24 @@ def _make_dec_kernel(shape, S, t, taps_np_tuple, band_off, final, lam,
 
         sub_mod, lane_idx, flat_mods = _masks(t, S, shape, strides)
 
-        def axis_pass(v, ax, sel):
+        def axis_pass_pair(v, ax):
+            """(lo, hi) of one tree node — rotates shared by the pair."""
             if ax == 0:
                 # leading axis: static halo slices (anchor K//2 - 1 with
-                # exact halo h_l = K//2 - 1 -> slice start j).
-                acc = None
+                # exact halo h_l = K//2 - 1 -> slice start j); slices are
+                # cheap, shared trivially by the two tap rows.
+                acc_lo = acc_hi = None
                 for j in range(K0):
-                    term = float(t0[sel, j]) * _row_slice(v, j, t, S)
-                    acc = term if acc is None else acc + term
-                return acc
+                    r = _row_slice(v, j, t, S)
+                    tl = float(t0[0, j]) * r
+                    th = float(t0[1, j]) * r
+                    acc_lo = tl if acc_lo is None else acc_lo + tl
+                    acc_hi = th if acc_hi is None else acc_hi + th
+                return acc_lo, acc_hi
             K = taps_np_tuple[ax].shape[1]
-            return _corr_trailing(
-                v, taps_refs[ax - 1], sel, shape[ax], strides[ax], S,
-                flat_mods[ax - 1], sub_mod, lane_idx, K // 2 - 1, False,
+            return _corr_trailing_pair(
+                v, taps_refs[ax - 1], shape[ax], strides[ax], S,
+                flat_mods[ax - 1], sub_mod, lane_idx, K // 2 - 1,
             )
 
         inflight = [None, None]
@@ -362,7 +395,18 @@ def _make_dec_kernel(shape, S, t, taps_np_tuple, band_off, final, lam,
             inflight[slot] = cp
             slot_ctr[0] ^= 1
 
-        _tree_expand(ndim, axis_pass, emit, _up(buf[...]))
+        # Depth-first pair tree: each node's (lo, hi) computed together
+        # (shared rotates), leaves emitted in bit-reversed band order
+        # (writes are independent — order irrelevant, as in _tree_expand).
+        def pair_tree(v, ax, b):
+            if ax == ndim:
+                emit(b, v)
+                return
+            lo, hi = axis_pass_pair(v, ax)
+            pair_tree(lo, ax + 1, b)
+            pair_tree(hi, ax + 1, b | (1 << ax))
+
+        pair_tree(_up(buf[...]), 0, 0)
         for cp in inflight:
             if cp is not None:
                 cp.wait()
