@@ -547,7 +547,21 @@ def _join_f64(planes, axis=0):
 
 def dec64(x, taps, level: int):
     """f64 multilevel analysis via compensated df32 kernels:
-    (shape) f64 -> (B, *shape) f64, ~1e-13-class accuracy."""
+    (shape) f64 -> (B, *shape) f64, ~1e-13-class accuracy.
+
+    Differentiable via ``linear_call`` (the exact adjoint is the
+    tight-frame synthesis — same rule as ``pallas_kernels.dec_pallas``)."""
+    from jax.custom_derivatives import linear_call
+
+    taps_t = taps
+    return linear_call(
+        lambda _, v: _dec64_impl(v, taps_t, level),
+        lambda _, ybar: _rec64_impl(ybar, taps_t, level, True),
+        (), jnp.asarray(x, jnp.float64),
+    )
+
+
+def _dec64_impl(x, taps, level: int):
     taps_np = tuple(np.asarray(t, np.float64) for t in taps)
     taps_pairs = tuple(_tap_split(t) for t in taps_np)
     shape = x.shape
@@ -570,7 +584,33 @@ def dec64(x, taps, level: int):
 
 
 def rec64(y, taps, level: int, preserve_l2: bool):
-    """f64 multilevel synthesis; (B, *shape) f64 -> (shape) f64."""
+    """f64 multilevel synthesis; (B, *shape) f64 -> (shape) f64.
+    Differentiable via ``linear_call`` (transpose = the analysis cascade
+    with the per-level 1/2^d redistributed onto the band groups when not
+    ``preserve_l2`` — same rule as ``pallas_kernels.rec_pallas``)."""
+    from jax.custom_derivatives import linear_call
+
+    from .pallas_kernels import _rec_transpose_scales
+
+    taps_t = taps
+    ndim = y.ndim - 1
+
+    def trans(_, xbar):
+        z = _dec64_impl(xbar, taps_t, level)
+        if not preserve_l2:
+            sc = jnp.asarray(
+                _rec_transpose_scales(ndim, level, np.float64)
+            )
+            z = z * sc.reshape((-1,) + (1,) * ndim)
+        return z
+
+    return linear_call(
+        lambda _, v: _rec64_impl(v, taps_t, level, preserve_l2),
+        trans, (), jnp.asarray(y, jnp.float64),
+    )
+
+
+def _rec64_impl(y, taps, level: int, preserve_l2: bool):
     taps_np = tuple(np.asarray(t, np.float64) for t in taps)
     taps_pairs = tuple(_tap_split(t) for t in taps_np)
     shape = y.shape[1:]

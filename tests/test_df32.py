@@ -90,3 +90,21 @@ def test_supported_gates():
     assert pdf.supported((512, 512), taps[:2])
     assert not pdf.supported((164, 64, 40), taps)  # odd lanes
     assert not pdf.supported((1024,), taps[:1])  # 1D out of scope
+
+
+def test_df32_grad_rides_linear_call(rng):
+    """grad through the f64 df32 kernels uses the registered exact
+    adjoint (structure check in interpret mode)."""
+    shape = (16, 128)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.float64,
+                    path="direct")
+    x = jnp.asarray(rng.standard_normal(shape))
+
+    def loss(v):
+        y = pdf.dec64(v, plan.taps_hp, 2)
+        return jnp.sum(y**2)
+
+    with pltpu.force_tpu_interpret_mode():
+        g = jax.grad(loss)(x)
+    assert g.shape == shape
+    assert bool(jnp.isfinite(g).all())

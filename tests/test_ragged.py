@@ -167,3 +167,45 @@ def test_resolve_path_never_direct_on_accel(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert p64d._resolve_path(is_complex=False) == "direct"
+
+
+def test_adjointness_interpret(rng):
+    """<dec(x), y> == <x, rec_pl2(y)> — the ragged synthesis is the exact
+    adjoint of the analysis (tight-frame form)."""
+    shape = (20, 12, 10)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, preserve_l2=True,
+                    dtype=jnp.float32)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    B = plan.num_bands(2)
+    yr = jnp.asarray(rng.standard_normal((B,) + shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        yx = pallas_ragged.dec_ragged(x, _taps(plan), 2)
+        xy = pallas_ragged.rec_ragged(yr, _taps(plan), 2, True)
+    lhs = float(jnp.vdot(yx, yr))
+    rhs = float(jnp.vdot(x, xy))
+    assert abs(lhs - rhs) < 1e-2 * max(abs(lhs), 1.0)
+
+
+def test_random_odd_shape_sweep(rng):
+    """Property sweep: random awkward shapes (odd extents, prime dims,
+    ragged tails) reproduce the XLA engine in interpret mode."""
+    cases = [
+        ((23, 11), "db3", 2),
+        ((9, 7, 26), "db1", 2),
+        ((17, 5, 6), "db2", 1),
+        ((7, 5, 3, 4), "db1", 2),
+    ]
+    for shape, wv, level in cases:
+        plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
+        taps = _taps(plan)
+        if not pallas_ragged.supported(shape, jnp.float32, taps):
+            continue
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            y = pallas_ragged.dec_ragged(x, taps, level)
+            xr = pallas_ragged.rec_ragged(y, taps, level, False)
+        yd = direct_path.dec_direct(x, plan.taps, level)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(yd),
+                                   atol=1e-5, err_msg=str(shape))
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
+                                   atol=1e-4, err_msg=str(shape))
