@@ -467,6 +467,9 @@ def main():
             ((164, 64, 40), ("db1", "db3", "db9"), 2,
              "3D odd 164x64x40 mixed L2"),
             ((64, 64, 20, 10), "db2", 2, "4D odd 64x64x20x10 db2 L2"),
+            # big-odd padded mode (oracle check rides a roundtrip-only
+            # gate below via the same machinery at this size)
+            ((130, 70, 90), "db4", 3, "3D odd 130x70x90 db4 L3"),
         ]:
             p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape,
                          dtype=jnp.float32)

@@ -107,21 +107,45 @@ def _compute_dtype(dtype):
     )
 
 
-def _pass_pair(v, taps_np, axis, o, use_roll, out_extent):
+def _lane_roll_logical(v, s, N):
+    """Circular roll by ``s`` over the LOGICAL lane extent ``N`` of a
+    lane-padded buffer (physical lanes ``v.shape[-1] > N``): masked
+    double-rotate (the ``pallas_4d._roll_t_static`` pattern) — lanes that
+    crossed the logical boundary take the rotate shifted one period back.
+    Lanes >= N carry garbage in and out (discarded at the unpad slice).
+    This is what lets the tiled kernels serve odd last-axis extents in
+    the padded big-odd mode (``ops/pallas_padded.py``)."""
+    if s == 0:
+        return v
+    Np = v.shape[-1]
+    r1 = pltpu.roll(v, np.int32(s), axis=v.ndim - 1)
+    r2 = pltpu.roll(v, np.int32((s - N) % Np), axis=v.ndim - 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
+    return jnp.where(lane < np.int32(s), r2, r1)
+
+
+def _pass_pair(v, taps_np, axis, o, use_roll, out_extent,
+               lane_logical=None):
     """(lo, hi) correlation pair along ``axis`` of one in-VMEM array.
 
     ``use_roll``: periodic wrap via lane rotate (resident last axis);
     otherwise static halo slices (leading axes, input pre-padded).
+    ``lane_logical``: logical lane extent for lane-padded buffers (the
+    roll wraps at this extent, not the physical width).
     """
     K = taps_np.shape[1]
     acc_lo = None
     acc_hi = None
     for j in range(K):
         if use_roll:
-            shift = (o - j) % v.shape[axis]
-            # np.int32: under jax_enable_x64 a Python int lowers to i64,
-            # which tpu.dynamic_rotate rejects.
-            r = pltpu.roll(v, np.int32(shift), axis=axis) if shift else v
+            N = lane_logical or v.shape[axis]
+            shift = (o - j) % N
+            if lane_logical:
+                r = _lane_roll_logical(v, shift, N)
+            else:
+                # np.int32: under jax_enable_x64 a Python int lowers to
+                # i64, which tpu.dynamic_rotate rejects.
+                r = pltpu.roll(v, np.int32(shift), axis=axis) if shift else v
         else:
             idx = [slice(None)] * v.ndim
             idx[axis] = slice(j, j + out_extent)
@@ -427,7 +451,8 @@ def _edge_out(shape, halos, slab_axes, dtype):
     return specs, shapes
 
 
-def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
+def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam,
+                      lane_logical=None):
     """All ``2^d`` analysis band values of one halo'd in-VMEM tile:
     d separable passes (lane roll on the last axis, halo slices on leading
     axes), optional in-register soft-threshold of the detail bands."""
@@ -462,7 +487,8 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
         new_lo, new_hi = [], []
         for v in vals:
             if use_roll:
-                lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None)
+                lo, hi = _pass_pair(v, taps_np, v.ndim - 1, o, True, None,
+                                    lane_logical=lane_logical)
             else:
                 # leading axis: halo slices, start offset absorbs any
                 # remaining surplus: eff_wl - h_l with h_l = K//2-1.
@@ -493,7 +519,7 @@ def _dec_tile_compute(buf, taps_np_tuple, ndim, tiles, halos, lam):
 def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
                      padded=None, approx_to_big=False, slab_axes=(),
                      lam=0.0, emit_edges=False, wrap_axes=(),
-                     bgroup=1, prefetch=False):
+                     bgroup=1, prefetch=False, lane_logical=None):
     """Fused analysis level: one wrap-segment tile load, all 2^d bands.
 
     Axes processed first->last, so the band list index IS the engine band
@@ -603,7 +629,7 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
             buf_tile = buf
 
         vals = _dec_tile_compute(buf_tile, taps_np_tuple, ndim, tiles,
-                                 halos, lam)
+                                 halos, lam, lane_logical=lane_logical)
         if not approx_to_big:
             app_ref[...] = vals[0].astype(app_ref.dtype)
         edge_cps = []
@@ -650,8 +676,13 @@ def _make_dec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_off,
     return kernel
 
 
-def _dec_tiles(shape, taps_np):
+def _dec_tiles(shape, taps_np, masked_lanes=False):
+    """``masked_lanes``: the logical-lane masked double-rotates of the
+    padded big-odd mode hold ~3x the live values per roll (r1 + r2 +
+    select vs one rotate); scale the liveness model accordingly (the
+    unscaled model OOM'd Mosaic's scoped VMEM at 250^3 rec, r5)."""
     ndim = len(shape)
+    scale = 1.5 if masked_lanes else 1.0
     if shape[-1] % 128:
         return None
     if _DEC_TILES_OVERRIDE is not None:
@@ -688,7 +719,7 @@ def _dec_tiles(shape, taps_np):
                 # fall to a smaller tile (or None -> XLA fallback).
                 ex0 = tx + 2 * _round8(K0 // 2)
                 live = ex0 * shape[-1] + 8 * tx * shape[-1]
-                if live <= 2_400_000:
+                if live * scale <= 2_400_000:
                     return (tx,)
         return None
     for tx, ty in ((16, 16), (8, 16), (8, 8)):
@@ -699,7 +730,7 @@ def _dec_tiles(shape, taps_np):
             z = shape[-1]
             # buf + two fan-out stages + 8 band values + out pipelining
             live = ex0 * ex1 * z + 2 * tx * ex1 * z + 12 * tx * ty * z
-            if live <= 2_400_000:
+            if live * scale <= 2_400_000:
                 return (tx, ty)
     return None
 
@@ -733,7 +764,7 @@ def _dec_live_model(shape, tiles, taps_np, bgroup=1, prefetch=0):
 
 def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
                      approx_to_big=False, slab_axes=(), slabs=(), lam=0.0,
-                     emit_edges=False, wrap_axes=()):
+                     emit_edges=False, wrap_axes=(), lane_logical=None):
     """One analysis level. Detail bands are written in place into ``big``
     (the full (B, *s) multilevel output, aliased) at ``band_off``; returns
     (big, next approx) — or just ``big`` when ``approx_to_big`` (final
@@ -752,7 +783,7 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
         shape = x.shape
     ndim = len(shape)
     nb = 2**ndim
-    tiles = _dec_tiles(shape, taps_np)
+    tiles = _dec_tiles(shape, taps_np, masked_lanes=lane_logical is not None)
     if tiles is None:
         return None
 
@@ -818,7 +849,8 @@ def _fused_dec_level(x, big, band_off, taps_np, shape=None, padded=None,
                          approx_to_big, tuple(slab_axes), lam=lam,
                          emit_edges=emit_edges and not approx_to_big,
                          wrap_axes=tuple(wrap_axes),
-                         bgroup=bgroup, prefetch=prefetch),
+                         bgroup=bgroup, prefetch=prefetch,
+                         lane_logical=lane_logical),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) + 1),
         out_specs=out_specs,
@@ -857,6 +889,12 @@ def dec_pallas(x, taps, level: int, lam: float = 0.0):
         lambda _, ybar: _rec_dispatch(ybar, taps_np, level, True),
         (), x,
     )
+
+
+def _padded_supported(shape, dtype, taps_np):
+    from . import pallas_padded
+
+    return pallas_padded.supported(shape, dtype, taps_np)
 
 
 def _shrink_details_xla(y, lam):
@@ -903,6 +941,10 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
         elif pallas_ragged.supported(x.shape, x.dtype, taps_np):
             # Arbitrary-shape row-grid kernels (shrink fused in-kernel).
             return pallas_ragged.dec_ragged(x, taps_np, level, lam=lam)
+        elif _padded_supported(x.shape, x.dtype, taps_np):
+            from . import pallas_padded
+
+            return pallas_padded.dec_padded(x, taps_np, level, lam=lam)
         else:
             if jax.default_backend() not in ("cpu",):
                 # Defense in depth: plan._resolve_path refuses this case
@@ -1130,10 +1172,12 @@ def _fused_dec_multi(x, taps_np, level: int, lam=0.0):
 # ---------------------------------------------------------------------------
 
 
-def _rec_tiles(shape, taps_np):
+def _rec_tiles(shape, taps_np, masked_lanes=False):
     """Tile choice for the streaming rec kernel (larger than the tree
-    kernel's — only one band tile is resident at a time)."""
+    kernel's — only one band tile is resident at a time).
+    ``masked_lanes``: see ``_dec_tiles``."""
     ndim = len(shape)
+    scale = 1.5 if masked_lanes else 1.0
     if shape[-1] % 128:
         return None
     if ndim == 2:
@@ -1144,7 +1188,7 @@ def _rec_tiles(shape, taps_np):
                 # + tx*z: the tree reduction's held stack[0] partial
                 # (_stream_band_tree).
                 live = 4 * ex0 * shape[-1] + 3 * tx * shape[-1]
-                if live <= 3_400_000:
+                if live * scale <= 3_400_000:
                     return (tx,)
         return None
     for tx, ty in ((32, 32), (16, 32), (16, 16), (8, 16), (8, 8)):
@@ -1158,7 +1202,7 @@ def _rec_tiles(shape, taps_np):
             # The tree reduction holds up to two extra partials
             # ((tx,ey,z) after axis 0, (tx,ty,z) after axis 1).
             live += tx * ex1 * z + tx * ty * z
-            if live <= 3_400_000:
+            if live * scale <= 3_400_000:
                 return (tx, ty)
     return None
 
@@ -1222,7 +1266,7 @@ def _tree_expand(d_sp, axis_pass, emit, root):
 
 
 def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
-                      seg_copies):
+                      seg_copies, lane_logical=None):
     """Streaming synthesis band loop shared by the per-level and the
     one-launch multilevel rec kernels: NSLOT-deep DMA prefetch plus a
     TREE-FACTORED adjoint accumulation (binary-counter pairwise reduction
@@ -1268,12 +1312,16 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
         a2 = None
         for j in range(K):
             if ax == ndim - 1:
-                shift = (o_adj - j) % v.shape[-1]
-                r = (
-                    pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
-                    if shift
-                    else v
-                )
+                N = lane_logical or v.shape[-1]
+                shift = (o_adj - j) % N
+                if lane_logical:
+                    r = _lane_roll_logical(v, shift, N)
+                else:
+                    r = (
+                        pltpu.roll(v, np.int32(shift), axis=v.ndim - 1)
+                        if shift
+                        else v
+                    )
             else:
                 h_l = K // 2
                 start = eff_wl[ax] - h_l + j
@@ -1309,7 +1357,7 @@ def _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple, bufs, NSLOT,
 
 def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
                      padded=None, slab_axes=(), emit_edges=False,
-                     wrap_axes=()):
+                     wrap_axes=(), lane_logical=None):
     """Streaming synthesis kernel: one band tile in flight (double-buffered
     9-segment wrap DMA straight from the unpadded band array), contributions
     accumulated in VMEM. No XLA pre-pad — the periodic wrap is handled by
@@ -1368,7 +1416,8 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
             )
 
         acc = _stream_band_tree(nb, ndim, tiles, halos, taps_np_tuple,
-                                bufs, NSLOT, seg_copies)
+                                bufs, NSLOT, seg_copies,
+                                lane_logical=lane_logical)
         if scale != 1.0:
             acc = acc * scale
         out_ref[...] = acc.astype(out_ref.dtype)
@@ -1387,7 +1436,7 @@ def _make_rec_kernel(ndim, tiles, shape_sp, taps_np_tuple, band_src, scale,
 
 def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
                      padded=None, slab_axes=(), y_slabs=(), a_slabs=(),
-                     emit_edges=False, wrap_axes=()):
+                     emit_edges=False, wrap_axes=(), lane_logical=None):
     """Concat 'valid' mode (``shape``/``padded``): band arrays already
     halo-padded on the ``padded`` leading axes by the ``_rec_halos``
     widths; ``shape`` is the unpadded output shape. Slab 'valid' mode
@@ -1400,7 +1449,7 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     if shape is None:
         shape = y_all.shape[1:]
     ndim = len(shape)
-    tiles = _rec_tiles(shape, taps_np)
+    tiles = _rec_tiles(shape, taps_np, masked_lanes=lane_logical is not None)
     if tiles is None:
         return None
 
@@ -1433,7 +1482,8 @@ def _fused_rec_level(y_all, approx, band_src, taps_np, scale, shape=None,
     return pl.pallas_call(
         _make_rec_kernel(ndim, tiles, shape, taps_np, band_src, scale,
                          padded, tuple(slab_axes), emit_edges=emit_edges,
-                         wrap_axes=tuple(wrap_axes)),
+                         wrap_axes=tuple(wrap_axes),
+                         lane_logical=lane_logical),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * len(operands),
         out_specs=out_specs,
@@ -1659,6 +1709,10 @@ def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
             return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
         if pallas_ragged.supported(shape, y.dtype, taps_np):
             return pallas_ragged.rec_ragged(y, taps_np, level, preserve_l2)
+        if _padded_supported(shape, y.dtype, taps_np):
+            from . import pallas_padded
+
+            return pallas_padded.rec_padded(y, taps_np, level, preserve_l2)
         if jax.default_backend() not in ("cpu",):
             raise RuntimeError(
                 f"no Pallas variant serves shape {shape} {y.dtype} on an "

@@ -173,7 +173,8 @@ class NDDWT:
         """True when at least one Pallas kernel family serves this plan's
         (shape, dtype) — the accelerator coverage gate. Families in
         dispatch-preference order: resident, tiled, 4D two-stage, flat,
-        ragged row-grid (the arbitrary-shape closer, round 5)."""
+        ragged row-grid, padded big-odd (the round-5 arbitrary-shape
+        closers)."""
         from .ops import (pallas_flat, pallas_kernels, pallas_ragged,
                           pallas_resident)
 
@@ -196,6 +197,10 @@ class NDDWT:
         if pallas_flat.flat_supported(self.shape, self.real_dtype, taps_np):
             return True
         if pallas_ragged.supported(self.shape, self.real_dtype, taps_np):
+            return True
+        from .ops import pallas_padded
+
+        if pallas_padded.supported(self.shape, self.real_dtype, taps_np):
             return True
         return False
 

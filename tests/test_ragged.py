@@ -137,17 +137,22 @@ def test_resolve_path_never_direct_on_accel(monkeypatch):
     ]:
         plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32)
         assert plan._resolve_path(is_complex=False) == "pallas", shape
-    # beyond every family's budget: loud refusal, not silent 'direct'
+    # big odd volumes ride the padded concat-valid mode (round 5)
     big_odd = nw.NDDWT(wavelet="db4", shape=(250, 250, 250),
                        dtype=jnp.float32)
+    assert big_odd._resolve_path(is_complex=False) == "pallas"
+    # beyond every family (4D with a large odd trailing flat volume):
+    # loud refusal, not silent 'direct'
+    refused = nw.NDDWT(wavelet="db4", shape=(128, 128, 60, 9),
+                       dtype=jnp.float32)
     with pytest.raises(ValueError, match="hazard"):
-        big_odd._resolve_path(is_complex=False)
+        refused._resolve_path(is_complex=False)
     # explicit path='pallas' refuses too (would otherwise silently fall
     # through to the XLA path inside the dispatcher)
-    big_odd_p = nw.NDDWT(wavelet="db4", shape=(250, 250, 250),
+    refused_p = nw.NDDWT(wavelet="db4", shape=(128, 128, 60, 9),
                          dtype=jnp.float32, path="pallas")
     with pytest.raises(ValueError, match="pallas"):
-        big_odd_p._resolve_path(is_complex=False)
+        refused_p._resolve_path(is_complex=False)
     # f64 outside the proven 128-multiple class warns loudly
     p64 = nw.NDDWT(wavelet="db4", shape=(164, 64, 40), dtype=jnp.float64)
     with pytest.warns(UserWarning, match="float64"):
