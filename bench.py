@@ -470,6 +470,8 @@ def main():
             # big-odd padded mode (oracle check rides a roundtrip-only
             # gate below via the same machinery at this size)
             ((130, 70, 90), "db4", 3, "3D odd 130x70x90 db4 L3"),
+            # 4D padded mode (dynamic-MRI-class odd frames/slices)
+            ((64, 64, 100, 25), "db4", 3, "4D odd 64x64x100x25 db4 L3"),
         ]:
             p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape,
                          dtype=jnp.float32)

@@ -168,41 +168,61 @@ def supported(shape, dtype, taps_np) -> bool:
 # ---------------------------------------------------------------------------
 
 
-def _roll_z_static(v, s, Z, T):
-    """Static circular Z-shift on the flattened (Z,T) lane axis: a plain
-    lane rotate by ``s*T`` (t is preserved exactly)."""
+def _roll_z_static(v, s, g, z_idx):
+    """Static circular Z-shift on the flattened (Zp,Tp) lane axis: a lane
+    rotate by ``s*Tp`` (t is preserved exactly). With a padded Z
+    (``Zp > Z``, the padded big-odd mode), blocks with ``z < s`` crossed
+    the LOGICAL boundary and take the extra rotate by ``-Z*Tp``."""
+    Z, T, Zp, Tp = g
     L = v.shape[-1]
-    sh = ((s % Z) * T) % L
-    return pltpu.roll(v, np.int32(sh), axis=v.ndim - 1) if sh else v
+    s = s % Z
+    if s == 0:
+        return v
+    r_main = pltpu.roll(v, np.int32((s * Tp) % L), axis=v.ndim - 1)
+    if Zp == Z:
+        return r_main  # the end-of-lane wrap IS the z wrap
+    r_wrap = pltpu.roll(r_main, np.int32((L - Z * Tp) % L),
+                        axis=v.ndim - 1)
+    return jnp.where(z_idx < np.int32(s), r_wrap, r_main)
 
 
-def _roll_t_static(v, s, T, lane_mod_T):
+def _roll_t_static(v, s, g, lane_mod_T):
     """Static circular T-shift: lanes with ``t < s`` crossed a T-block
-    boundary and take the extra constant rotate by ``L - T``."""
+    boundary and take the extra constant rotate by ``-T`` (mod L). With
+    a padded T (``Tp > T``) the wrap is at the LOGICAL T inside
+    Tp-strided blocks; garbage lanes ``t >= T`` stay garbage."""
+    Z, T, Zp, Tp = g
     L = v.shape[-1]
     s = s % T
     if s == 0:
         return v
     r_main = pltpu.roll(v, np.int32(s), axis=v.ndim - 1)
-    r_wrap = pltpu.roll(r_main, np.int32(L - T), axis=v.ndim - 1)
+    r_wrap = pltpu.roll(r_main, np.int32((L - T) % L), axis=v.ndim - 1)
     return jnp.where(lane_mod_T < np.int32(s), r_wrap, r_main)
 
 
-def _lane_mod_T(shape, T):
+def _lane_mod_T(shape, Tp):
+    """lane mod Tp (the PHYSICAL block stride)."""
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
-    return jax.lax.rem(lane, np.int32(T))
+    return jax.lax.rem(lane, np.int32(Tp))
 
 
-def _pair_static(v, taps_np, N, T, is_t, lane_mod_T):
+def _z_idx(shape, Tp):
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, len(shape) - 1)
+    return jax.lax.div(lane, np.int32(Tp))
+
+
+def _pair_static(v, taps_np, g, is_t, lane_mod_T, z_idx):
     """(lo, hi) analysis pair, unrolled static shifts (anchor K//2 - 1);
     both filter rows share every roll."""
     K = taps_np.shape[1]
     o = K // 2 - 1
+    N = g[1] if is_t else g[0]
     alo = ahi = None
     for j in range(K):
         s = (o - j) % N
-        r = (_roll_t_static(v, s, T, lane_mod_T) if is_t
-             else _roll_z_static(v, s, N, T))
+        r = (_roll_t_static(v, s, g, lane_mod_T) if is_t
+             else _roll_z_static(v, s, g, z_idx))
         tl = float(taps_np[0, j]) * r
         th = float(taps_np[1, j]) * r
         alo = tl if alo is None else alo + tl
@@ -210,41 +230,55 @@ def _pair_static(v, taps_np, N, T, is_t, lane_mod_T):
     return alo, ahi
 
 
-def _adj_static(v, taps_np, sel, N, T, is_t, lane_mod_T):
+def _adj_static(v, taps_np, sel, g, is_t, lane_mod_T, z_idx):
     """Adjoint single-row correlation, unrolled static shifts (reversed
     taps at the mirrored anchor K//2)."""
     K = taps_np.shape[1]
     anchor = K // 2
+    N = g[1] if is_t else g[0]
     trow = taps_np[sel]
     acc = None
     for j in range(K):
         s = (anchor - j) % N
-        r = (_roll_t_static(v, s, T, lane_mod_T) if is_t
-             else _roll_z_static(v, s, N, T))
+        r = (_roll_t_static(v, s, g, lane_mod_T) if is_t
+             else _roll_z_static(v, s, g, z_idx))
         term = float(trow[K - 1 - j]) * r
         acc = term if acc is None else acc + term
     return acc
 
 
-def _lane_shift_dyn(v, T, is_t: bool, shift):
-    """Rotate ``v``'s flattened (Z,T) lane axis circularly along Z
-    (``is_t=False``: plain rotate by ``shift*T``) or along T (masked
-    double-rotate: the ``t < s`` lanes crossed a block boundary and take
-    the rotate by ``s - T`` instead). ``shift`` is a traced i32 (already
-    reduced mod N of its axis)."""
+def _lane_shift_dyn(v, g, is_t: bool, shift):
+    """Rotate ``v``'s flattened (Zp,Tp) lane axis circularly along the
+    LOGICAL Z (``is_t=False``) or T (masked double-rotate at the logical
+    extent inside Tp-strided blocks). ``shift`` is a traced i32 (already
+    reduced mod the logical extent)."""
+    Z, T, Zp, Tp = g
     L = v.shape[-1]
     ax = v.ndim - 1
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
     if not is_t:
-        return pltpu.roll(v, shift * np.int32(T), axis=ax)
+        r_main = pltpu.roll(v, shift * np.int32(Tp), axis=ax)
+        if Zp == Z:
+            return r_main
+        r_wrap = pltpu.roll(
+            v,
+            jax.lax.rem(
+                (shift - np.int32(Z)) * np.int32(Tp) + np.int32(2 * L),
+                np.int32(L),
+            ),
+            axis=ax,
+        )
+        return jnp.where(
+            jax.lax.div(lane, np.int32(Tp)) < shift, r_wrap, r_main
+        )
     s = shift
     r_main = pltpu.roll(v, s, axis=ax)
     r_wrap = pltpu.roll(v, jax.lax.rem(s - np.int32(T) + np.int32(L), np.int32(L)),
                         axis=ax)
-    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, v.ndim - 1)
-    return jnp.where(jax.lax.rem(lane, np.int32(T)) < s, r_wrap, r_main)
+    return jnp.where(jax.lax.rem(lane, np.int32(Tp)) < s, r_wrap, r_main)
 
 
-def _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, reverse):
+def _lane_corr_fori(v, taps_ref, sel, g, is_t, o, reverse):
     """K-tap correlation along the lane-resident Z or T axis as an i32
     while_loop — ONE rotate live at a time. An unrolled tap chain keeps
     every rotate output on Mosaic's 16MB scoped stack (a db4 (8,8,4096)
@@ -255,6 +289,7 @@ def _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, reverse):
     ``reverse=True``: adjoint — reversed taps at the mirrored anchor."""
     K = taps_ref.shape[1]
     anchor = (K - 1 - o) if reverse else o
+    N = g[1] if is_t else g[0]
 
     def cond(carry):
         return carry[0] < np.int32(K)
@@ -262,7 +297,7 @@ def _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, reverse):
     def body(carry):
         j, acc = carry
         s = jax.lax.rem(np.int32(anchor) - j + np.int32(16 * N), np.int32(N))
-        r = _lane_shift_dyn(v, T, is_t, s)
+        r = _lane_shift_dyn(v, g, is_t, s)
         tap_idx = (np.int32(K - 1) - j) if reverse else j
         t = taps_ref[np.int32(sel), tap_idx]
         return (j + np.int32(1), acc + t * r)
@@ -271,13 +306,13 @@ def _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, reverse):
     return jax.lax.while_loop(cond, body, (j0, jnp.zeros_like(v)))[1]
 
 
-def _lane_pair(v, taps_ref, Z, T, is_t: bool):
+def _lane_pair(v, taps_ref, g, is_t: bool):
     """(lo, hi) analysis correlations along Z or T (anchor ``K//2 - 1``),
     sharing every rotate between the two filter rows (one loop, both
     accumulators in the carry)."""
     K = taps_ref.shape[1]
     o = K // 2 - 1
-    N = T if is_t else Z
+    N = g[1] if is_t else g[0]
 
     def cond(carry):
         return carry[0] < np.int32(K)
@@ -285,7 +320,7 @@ def _lane_pair(v, taps_ref, Z, T, is_t: bool):
     def body(carry):
         j, alo, ahi = carry
         s = jax.lax.rem(np.int32(o) - j + np.int32(16 * N), np.int32(N))
-        r = _lane_shift_dyn(v, T, is_t, s)
+        r = _lane_shift_dyn(v, g, is_t, s)
         return (
             j + np.int32(1),
             alo + taps_ref[np.int32(0), j] * r,
@@ -298,13 +333,12 @@ def _lane_pair(v, taps_ref, Z, T, is_t: bool):
     return lo, hi
 
 
-def _lane_adj(v, taps_ref, sel: int, Z, T, is_t: bool):
+def _lane_adj(v, taps_ref, sel: int, g, is_t: bool):
     """Adjoint pass for one filter row: reversed taps at the mirrored
     anchor ``o' = K//2`` (same convention as pallas_kernels synthesis)."""
     K = taps_ref.shape[1]
     o = K // 2 - 1
-    N = T if is_t else Z
-    return _lane_corr_fori(v, taps_ref, sel, N, T, is_t, o, True)
+    return _lane_corr_fori(v, taps_ref, sel, g, is_t, o, True)
 
 
 # ---------------------------------------------------------------------------
@@ -466,8 +500,10 @@ def _lane_edge_out(X, Y, L, halos, slab_axes, dtype, has_band):
 # ---------------------------------------------------------------------------
 
 
-def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None):
+def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None, geom=None):
     """(X, Y, L) -> (4, X, Y, L): all four (z,t)-bands per input read.
+    ``geom=(Z, T, Zp, Tp)``: logical extents inside a lane-padded layout
+    (padded big-odd mode); default = unpadded.
 
     Static path runs the masked (expensive) T-pair ONCE on the input and
     the cheap Z-pairs on its two outputs — ~20% fewer vector ops than the
@@ -477,7 +513,8 @@ def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None):
     ``[my tail | my head]`` edges output per slab axis (the lead stage's
     slab source, see ``_lane_edge_copies``); returns ``(out, *edges)``."""
     X, Y, L = x3.shape
-    Z = L // T
+    g = geom if geom is not None else (L // T, T, L // T, T)
+    Z, T = g[0], g[1]
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
     # SMEM taps in the compute dtype (f32 for bf16 arrays — see _up).
@@ -489,16 +526,17 @@ def _lane_dec_call(x3, taps_np, T, tiles, edge_spec=None):
         v = _up(x_ref[...])
         od = out_ref.dtype
         if static:
-            lmt = _lane_mod_T(v.shape, T)
-            tlo, thi = _pair_static(v, tt_np, T, T, True, lmt)
+            lmt = _lane_mod_T(v.shape, g[3])
+            zix = _z_idx(v.shape, g[3]) if g[2] != g[0] else None
+            tlo, thi = _pair_static(v, tt_np, g, True, lmt, zix)
             for tbit, vt in enumerate((tlo, thi)):
-                zlo, zhi = _pair_static(vt, tz_np, Z, T, False, None)
+                zlo, zhi = _pair_static(vt, tz_np, g, False, lmt, zix)
                 out_ref[np.int32(2 * tbit)] = zlo.astype(od)  # c = zbit+2*tbit
                 out_ref[np.int32(2 * tbit + 1)] = zhi.astype(od)
         else:
-            zlo, zhi = _lane_pair(v, tz_ref, Z, T, is_t=False)
+            zlo, zhi = _lane_pair(v, tz_ref, g, is_t=False)
             for zbit, vz in enumerate((zlo, zhi)):
-                tlo, thi = _lane_pair(vz, tt_ref, Z, T, is_t=True)
+                tlo, thi = _lane_pair(vz, tt_ref, g, is_t=True)
                 out_ref[np.int32(zbit)] = tlo.astype(od)
                 out_ref[np.int32(zbit + 2)] = thi.astype(od)
         if edge_spec is not None:
@@ -957,7 +995,8 @@ def _lead_adj_call(y5, approx, band_src, taps_np, tiles, zct,
     )(*operands)
 
 
-def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None):
+def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None,
+                   geom=None):
     """Adjoint lane stage: (4, X, Y, L) -> (X, Y, L); the reference's
     per-level ``1/2^d`` folded into the accumulate.
 
@@ -969,7 +1008,8 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None):
     ``[my tail | my head]`` edges outputs (the next level's ``a_slabs``
     source, see ``_lane_edge_copies``); returns ``(acc, *edges)``."""
     _, X, Y, L = partial.shape
-    Z = L // T
+    g = geom if geom is not None else (L // T, T, L // T, T)
+    Z, T = g[0], g[1]
     tx, ty, static = tiles
     tz_np, tt_np = taps_np[2], taps_np[3]
     tdt = _compute_dtype(partial.dtype)
@@ -982,18 +1022,19 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None):
     def kernel(p_ref, tz_ref, tt_ref, out_ref, *rest):
         od = out_ref.dtype
         if static:
-            lmt = _lane_mod_T((tx, ty, L), T)
+            lmt = _lane_mod_T((tx, ty, L), g[3])
+            zix = _z_idx((tx, ty, L), g[3]) if g[2] != g[0] else None
             outer = None
             for tbit in range(2):
                 inner = None
                 for zbit in range(2):
                     c = zbit + 2 * tbit
                     vz = _adj_static(
-                        _up(p_ref[np.int32(c)]), tz_np, zbit, Z, T, False,
-                        None
+                        _up(p_ref[np.int32(c)]), tz_np, zbit, g, False,
+                        lmt, zix
                     )
                     inner = vz if inner is None else inner + vz
-                vt = _adj_static(inner, tt_np, tbit, T, T, True, lmt)
+                vt = _adj_static(inner, tt_np, tbit, g, True, lmt, zix)
                 outer = vt if outer is None else outer + vt
             if scale != 1.0:
                 outer = outer * scale
@@ -1002,8 +1043,8 @@ def _lane_adj_call(partial, taps_np, T, tiles, scale, edge_spec=None):
             acc = None
             for c in range(4):
                 v = _up(p_ref[np.int32(c)])
-                vt = _lane_adj(v, tt_ref, (c >> 1) & 1, Z, T, is_t=True)
-                vz = _lane_adj(vt, tz_ref, c & 1, Z, T, is_t=False)
+                vt = _lane_adj(v, tt_ref, (c >> 1) & 1, g, is_t=True)
+                vz = _lane_adj(vt, tz_ref, c & 1, g, is_t=False)
                 acc = vz if acc is None else acc + vz
             if scale != 1.0:
                 acc = acc * scale

@@ -936,15 +936,24 @@ def _dec_dispatch(x, taps_np, level: int, lam: float = 0.0):
     if not _supported(x.shape, x.dtype) or _dec_tiles(x.shape, taps_np) is None:
         from . import pallas_flat, pallas_ragged
 
+        ragged_ok = pallas_ragged.supported(x.shape, x.dtype, taps_np)
+        padded_ok = _padded_supported(x.shape, x.dtype, taps_np)
+        from . import pallas_padded
+
         if pallas_flat.flat_supported(x.shape, x.dtype, taps_np):
             y = pallas_flat.dec_flat(x, taps_np, level)
-        elif pallas_ragged.supported(x.shape, x.dtype, taps_np):
+        elif padded_ok and (
+            not ragged_ok
+            or pallas_padded.inflation(x.shape)
+            <= pallas_padded.PREFER_INFLATION
+        ):
+            # Padded tiled kernels beat the ragged blocked rotates up to
+            # ~4x work-voxel inflation (measured r5 A/B, see
+            # pallas_padded.inflation).
+            return pallas_padded.dec_padded(x, taps_np, level, lam=lam)
+        elif ragged_ok:
             # Arbitrary-shape row-grid kernels (shrink fused in-kernel).
             return pallas_ragged.dec_ragged(x, taps_np, level, lam=lam)
-        elif _padded_supported(x.shape, x.dtype, taps_np):
-            from . import pallas_padded
-
-            return pallas_padded.dec_padded(x, taps_np, level, lam=lam)
         else:
             if jax.default_backend() not in ("cpu",):
                 # Defense in depth: plan._resolve_path refuses this case
@@ -1707,12 +1716,18 @@ def _rec_dispatch(y, taps_np, level: int, preserve_l2: bool):
 
         if pallas_flat.flat_supported(shape, y.dtype, taps_np):
             return pallas_flat.rec_flat(y, taps_np, level, preserve_l2)
-        if pallas_ragged.supported(shape, y.dtype, taps_np):
-            return pallas_ragged.rec_ragged(y, taps_np, level, preserve_l2)
-        if _padded_supported(shape, y.dtype, taps_np):
-            from . import pallas_padded
+        ragged_ok = pallas_ragged.supported(shape, y.dtype, taps_np)
+        padded_ok = _padded_supported(shape, y.dtype, taps_np)
+        from . import pallas_padded
 
+        if padded_ok and (
+            not ragged_ok
+            or pallas_padded.inflation(shape)
+            <= pallas_padded.PREFER_INFLATION
+        ):
             return pallas_padded.rec_padded(y, taps_np, level, preserve_l2)
+        if ragged_ok:
+            return pallas_ragged.rec_ragged(y, taps_np, level, preserve_l2)
         if jax.default_backend() not in ("cpu",):
             raise RuntimeError(
                 f"no Pallas variant serves shape {shape} {y.dtype} on an "

@@ -61,6 +61,37 @@ def test_supported_gates():
     taps = _taps(plan)
     assert pallas_padded.supported((250, 250, 250), jnp.float32, taps)
     assert pallas_padded.supported((250, 250, 256), jnp.float32, taps)
-    assert not pallas_padded.supported((10, 6, 4, 6), jnp.float32, taps)
+    taps4 = _taps(nw.NDDWT(wavelet="db4", shape=(16, 16, 8, 16)))
+    # lane filter longer than the Z extent: unsupported
+    assert not pallas_padded.supported((10, 6, 4, 6), jnp.float32, taps4)
     # halo larger than a tiny true extent: wrap slices would be invalid
     assert not pallas_padded.supported((3, 40, 72), jnp.float32, taps)
+
+
+@pytest.mark.parametrize(
+    "shape,wv,level,pl2",
+    [
+        ((20, 20, 12, 10), "db2", 2, False),
+        ((20, 20, 12, 10), ("db2", "db2", "db3", "db1"), 2, True),
+    ],
+)
+def test_4d_matches_direct(shape, wv, level, pl2, rng):
+    """4D padded mode: logical-geometry masked lane rolls (Z inside Zp,
+    T inside Tp) + padded lead stage."""
+    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=jnp.float32,
+                    preserve_l2=pl2)
+    taps = _taps(plan)
+    assert pallas_padded.supported(shape, jnp.float32, taps)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_padded.dec_padded(x, taps, level)
+        xr = pallas_padded.rec_padded(y, taps, level, pl2)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_4d_geometry_picker():
+    assert pallas_padded._pick_geom4(100, 25) == (100, 25, 100, 32, 4)
+    assert pallas_padded._pick_geom4(60, 9) == (60, 9, 64, 16, 8)
+    assert pallas_padded._pick_geom4(32, 130) is None  # T > 128

@@ -141,15 +141,20 @@ def test_resolve_path_never_direct_on_accel(monkeypatch):
     big_odd = nw.NDDWT(wavelet="db4", shape=(250, 250, 250),
                        dtype=jnp.float32)
     assert big_odd._resolve_path(is_complex=False) == "pallas"
-    # beyond every family (4D with a large odd trailing flat volume):
-    # loud refusal, not silent 'direct'
-    refused = nw.NDDWT(wavelet="db4", shape=(128, 128, 60, 9),
+    # big odd 4D rides the padded pallas_4d mode (round 5)
+    for shape4 in [(128, 128, 60, 9), (192, 192, 100, 25)]:
+        p4odd = nw.NDDWT(wavelet="db4", shape=shape4, dtype=jnp.float32)
+        assert p4odd._resolve_path(is_complex=False) == "pallas", shape4
+    # beyond every family (T > 128 exceeds the lane-chunk geometry; the
+    # trailing flat volume exceeds the ragged budget): loud refusal,
+    # not silent 'direct'
+    refused = nw.NDDWT(wavelet="db4", shape=(32, 32, 32, 130),
                        dtype=jnp.float32)
     with pytest.raises(ValueError, match="hazard"):
         refused._resolve_path(is_complex=False)
     # explicit path='pallas' refuses too (would otherwise silently fall
     # through to the XLA path inside the dispatcher)
-    refused_p = nw.NDDWT(wavelet="db4", shape=(128, 128, 60, 9),
+    refused_p = nw.NDDWT(wavelet="db4", shape=(32, 32, 32, 130),
                          dtype=jnp.float32, path="pallas")
     with pytest.raises(ValueError, match="pallas"):
         refused_p._resolve_path(is_complex=False)
