@@ -682,7 +682,18 @@ def _dec_tiles(shape, taps_np, masked_lanes=False):
     select vs one rotate); scale the liveness model accordingly (the
     unscaled model OOM'd Mosaic's scoped VMEM at 250^3 rec, r5)."""
     ndim = len(shape)
-    scale = 1.5 if masked_lanes else 1.0
+    # Masked logical-lane rolls double the rolls AND the unrolled tap
+    # chains keep every roll output live on Mosaic's scoped stack, so the
+    # penalty grows with the lane filter length (db9-lane at (32,32)
+    # measured 19.3M scoped vs the 16M limit at a flat 1.5x factor; db4
+    # at (16,32) is hardware-proven at 1.5x).
+    K_lane = taps_np[-1].shape[1]
+    scale = (
+        1.0 if not masked_lanes
+        else 1.5 if K_lane <= 8
+        else 2.5 if K_lane <= 12
+        else 3.5
+    )
     if shape[-1] % 128:
         return None
     if _DEC_TILES_OVERRIDE is not None:
@@ -1186,7 +1197,18 @@ def _rec_tiles(shape, taps_np, masked_lanes=False):
     kernel's — only one band tile is resident at a time).
     ``masked_lanes``: see ``_dec_tiles``."""
     ndim = len(shape)
-    scale = 1.5 if masked_lanes else 1.0
+    # Masked logical-lane rolls double the rolls AND the unrolled tap
+    # chains keep every roll output live on Mosaic's scoped stack, so the
+    # penalty grows with the lane filter length (db9-lane at (32,32)
+    # measured 19.3M scoped vs the 16M limit at a flat 1.5x factor; db4
+    # at (16,32) is hardware-proven at 1.5x).
+    K_lane = taps_np[-1].shape[1]
+    scale = (
+        1.0 if not masked_lanes
+        else 1.5 if K_lane <= 8
+        else 2.5 if K_lane <= 12
+        else 3.5
+    )
     if shape[-1] % 128:
         return None
     if ndim == 2:
