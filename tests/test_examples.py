@@ -34,6 +34,7 @@ def _load(name):
         "example_multicoil",
         "example_iterative_shrinkage",
         "example_split_complex_fista",
+        "example_any_shape",
     ],
 )
 def test_example_runs(name, capsys):
