@@ -219,3 +219,34 @@ def test_random_odd_shape_sweep(rng):
                                    atol=1e-5, err_msg=str(shape))
         np.testing.assert_allclose(np.asarray(xr), np.asarray(x),
                                    atol=1e-4, err_msg=str(shape))
+
+
+def test_dispatch_ladder_never_crashes(monkeypatch):
+    """Gate-consistency fuzz: for a sweep of random shapes/dtypes the
+    accelerator path resolution must either serve ('pallas'/'direct')
+    or refuse with ValueError — never crash (an IndexError-class gate
+    bug was caught by exactly this pattern in r5)."""
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    rng = np.random.default_rng(7)
+    shapes = []
+    for nd in (1, 2, 3, 4):
+        for _ in range(6):
+            shapes.append(tuple(int(rng.integers(3, 70)) for _ in range(nd)))
+    shapes += [(54321,), (7000000,), (250, 250, 250), (1000, 999),
+               (32, 32, 32, 130), (128, 128, 60, 9)]
+    for shape in shapes:
+        for wv in ("db1", "db4"):
+            for dt in (jnp.float32, jnp.float64):
+                try:
+                    plan = nw.NDDWT(wavelet=wv, shape=shape, dtype=dt)
+                except ValueError:
+                    continue  # filter longer than an axis etc.
+                import warnings
+
+                with warnings.catch_warnings():
+                    warnings.simplefilter("ignore")
+                    try:
+                        path = plan._resolve_path(is_complex=False)
+                        assert path in ("pallas", "direct"), (shape, path)
+                    except ValueError:
+                        pass  # loud refusal is a valid outcome
