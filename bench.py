@@ -462,17 +462,21 @@ def main():
     try:
         from non_decimated_wavelets_tpu import oracle
 
-        for cfg_shape, cfg_wav, cfg_level, tag in [
+        odd_cfgs = [
             ((164, 64, 40), "db4", 2, "3D odd 164x64x40 db4 L2"),
             ((164, 64, 40), ("db1", "db3", "db9"), 2,
              "3D odd 164x64x40 mixed L2"),
             ((64, 64, 20, 10), "db2", 2, "4D odd 64x64x20x10 db2 L2"),
-            # big-odd padded mode (oracle check rides a roundtrip-only
-            # gate below via the same machinery at this size)
-            ((130, 70, 90), "db4", 3, "3D odd 130x70x90 db4 L3"),
-            # 4D padded mode (dynamic-MRI-class odd frames/slices)
-            ((64, 64, 100, 25), "db4", 3, "4D odd 64x64x100x25 db4 L3"),
-        ]:
+        ]
+        if not FAST:  # the NumPy oracle at these sizes costs minutes
+            odd_cfgs += [
+                # big-odd padded mode
+                ((130, 70, 90), "db4", 3, "3D odd 130x70x90 db4 L3"),
+                # 4D padded mode (dynamic-MRI-class odd frames/slices)
+                ((64, 64, 100, 25), "db4", 3,
+                 "4D odd 64x64x100x25 db4 L3"),
+            ]
+        for cfg_shape, cfg_wav, cfg_level, tag in odd_cfgs:
             p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape,
                          dtype=jnp.float32)
             assert p._resolve_path(is_complex=False) == "pallas", (
