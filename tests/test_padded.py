@@ -95,3 +95,19 @@ def test_4d_geometry_picker():
     assert pallas_padded._pick_geom4(100, 25) == (100, 25, 100, 32, 4)
     assert pallas_padded._pick_geom4(60, 9) == (60, 9, 64, 16, 8)
     assert pallas_padded._pick_geom4(32, 130) is None  # T > 128
+
+
+def test_bf16(rng):
+    shape = (40, 40, 72)
+    plan = nw.NDDWT(wavelet="db2", shape=shape, dtype=jnp.bfloat16)
+    taps = _taps(plan)
+    assert pallas_padded.supported(shape, jnp.bfloat16, taps)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_padded.dec_padded(x, taps, 2)
+        xr = pallas_padded.rec_padded(y, taps, 2, False)
+    assert y.dtype == jnp.bfloat16
+    err = float(jnp.max(jnp.abs(
+        xr.astype(jnp.float32) - x.astype(jnp.float32)
+    )))
+    assert err < 0.05
