@@ -46,6 +46,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from . import pallas_kernels as pk
 
@@ -107,6 +109,8 @@ def supported(shape, dtype, taps_np) -> bool:
         return False
     if len(shape) == 4:
         return _supported4(shape, dtype, taps_np)
+    if len(shape) == 1:
+        return _supported1(shape, dtype, taps_np)
     if len(shape) not in (2, 3):
         return False
     work = _work_shape(shape)
@@ -171,6 +175,8 @@ def dec_padded(x, taps_np, level: int, lam: float = 0.0):
     (B, *shape)."""
     if x.ndim == 4:
         return dec_padded4(x, taps_np, level, lam=lam)
+    if x.ndim == 1:
+        return dec_padded1(x, taps_np, level, lam=lam)
     shape = x.shape
     ndim = len(shape)
     work = _work_shape(shape)
@@ -205,6 +211,8 @@ def rec_padded(y, taps_np, level: int, preserve_l2: bool):
     shape; returns (shape)."""
     if y.ndim == 5:
         return rec_padded4(y, taps_np, level, preserve_l2)
+    if y.ndim == 2:
+        return rec_padded1(y, taps_np, level, preserve_l2)
     shape = y.shape[1:]
     ndim = len(shape)
     work = _work_shape(shape)
@@ -387,3 +395,296 @@ def rec_padded4(y, taps_np, level: int, preserve_l2: bool):
         )
         pos += nb - 1
     return acc.reshape(Xp, Yp, Zp, Tp)[:X, :Y, :Z, :T]
+
+
+# ---------------------------------------------------------------------------
+# 1D padded mode (chunked long signals — flat kernels cap at ~196K samples)
+# ---------------------------------------------------------------------------
+#
+# A 1D chunk of CH samples (CH a multiple of 1024) lives as CH/128 rows of
+# a lifted (rows, 128) view; chunk boundaries at CH multiples make every
+# sublane DMA offset an 8-row multiple. The signal is wrap-extended by
+# 1024 samples on each side (one XLA concat per level), so every chunk
+# reads ONE contiguous aligned row range [i*CH, i*CH + CH + 2048) and the
+# K-tap correlation is a chain of flat shifts of the halo'd buffer
+# (lane rotate + sublane rotate + carry select, one live at a time in an
+# i32 while_loop with taps in SMEM).
+
+_PAD1 = 1024  # halo samples each side; covers K <= 1024 filters
+
+
+def _chunk1(N):
+    """Chunk size: enough rows to amortize, small enough for VMEM."""
+    for CH in (131072, 65536, 32768, 16384, 8192, 4096, 2048, 1024):
+        if CH <= _roundup(N, 1024):
+            return CH
+    return 1024
+
+
+def _supported1(shape, dtype, taps_np) -> bool:
+    if len(shape) != 1 or len(taps_np) != 1:
+        return False
+    K = taps_np[0].shape[1]
+    return K <= _PAD1 and shape[0] >= _PAD1
+
+
+def _ext1(x_valid, N, N_w):
+    """[wrap_l(1024) | valid | wrap_r(1024) | garbage] lifted to
+    (rows, 128); ``x_valid`` is 1D with valid samples [0, N)."""
+    parts = [x_valid[N - _PAD1:N], x_valid[:N], x_valid[:_PAD1]]
+    tail = N_w - N
+    if tail:
+        parts.append(jnp.zeros((tail,), x_valid.dtype))
+    ext = jnp.concatenate(parts)
+    return ext.reshape(-1, 128)
+
+
+def _flat_shift1(v, s):
+    """rows-major flat shift: out[m] = v[m + s] (s traced i32 >= 0;
+    positions past the end wrap — callers only read the in-range head)."""
+    R = v.shape[0]
+    r = jax.lax.rem(s, np.int32(128))
+    q = jax.lax.div(s, np.int32(128))
+    lr = pltpu.roll(v, jax.lax.rem(np.int32(128) - r, np.int32(128)),
+                    axis=1)
+    a = pltpu.roll(lr, jax.lax.rem(np.int32(R) - q, np.int32(R)), axis=0)
+    b = pltpu.roll(
+        lr, jax.lax.rem(np.int32(2 * R) - q - np.int32(1), np.int32(R)),
+        axis=0,
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    return jnp.where(lane >= np.int32(128) - r, b, a)
+
+
+def _corr1(buf, taps_ref, sel, K, anchor, out_rows, reverse):
+    """K-tap correlation of the halo'd chunk: y[n] = sum_j t v[n+j-o]
+    (or the adjoint with reversed taps at the mirrored anchor)."""
+
+    def cond(c):
+        return c[0] < np.int32(K)
+
+    def body(c):
+        j, acc = c
+        s = np.int32(_PAD1) - np.int32(anchor) + j
+        r = _flat_shift1(buf, s)[: out_rows]
+        tap_idx = (np.int32(K - 1) - j) if reverse else j
+        t = taps_ref[np.int32(sel), tap_idx]
+        return (j + np.int32(1), acc + t * r)
+
+    j0 = jnp.asarray(0, jnp.int32)
+    z = jnp.zeros((out_rows, 128), buf.dtype)
+    return jax.lax.while_loop(cond, body, (j0, z))[1]
+
+
+def _corr1_pair(buf, taps_ref, K, o, out_rows):
+    """(lo, hi) analysis pair sharing every shift."""
+
+    def cond(c):
+        return c[0] < np.int32(K)
+
+    def body(c):
+        j, alo, ahi = c
+        s = np.int32(_PAD1 - o) + j
+        r = _flat_shift1(buf, s)[: out_rows]
+        return (
+            j + np.int32(1),
+            alo + taps_ref[np.int32(0), j] * r,
+            ahi + taps_ref[np.int32(1), j] * r,
+        )
+
+    j0 = jnp.asarray(0, jnp.int32)
+    z = jnp.zeros((out_rows, 128), buf.dtype)
+    _, lo, hi = jax.lax.while_loop(cond, body, (j0, z, z))
+    return lo, hi
+
+
+def _dec1_level(ext, big, band_off, taps_op, K, N_w, CH, final):
+    """One 1D analysis level: ext (rows,128) -> detail into aliased big
+    (+ approx output unless final, where it goes to big[0])."""
+    from .pallas_kernels import _up as up
+
+    G = N_w // CH
+    rows_out = CH // 128
+    rows_in = (CH + 2 * _PAD1) // 128
+    o = K // 2 - 1
+
+    def kernel(ext_ref, taps_ref, big_in, big_ref, *rest):
+        del big_in
+        if final:
+            app_ref = None
+            buf, stage, sem_in, sem_out = rest
+        else:
+            app_ref = rest[0]
+            buf, stage, sem_in, sem_out = rest[1:]
+        i = pl.program_id(0)
+        r0 = pl.multiple_of(i * np.int32(rows_out), 8)
+        cp = pltpu.make_async_copy(
+            ext_ref.at[pl.ds(r0, rows_in), :], buf, sem_in
+        )
+        cp.start()
+        cp.wait()
+        lo, hi = _corr1_pair(up(buf[...]), taps_ref, K, o, rows_out)
+        cps = []
+        for slot, (b, val) in enumerate(((0, lo), (1, hi))):
+            stage[np.int32(slot)] = val.astype(stage.dtype)
+            if b == 0 and not final:
+                dst = app_ref.at[pl.ds(r0, rows_out), :]
+            else:
+                band = 0 if b == 0 else band_off
+                dst = big_ref.at[np.int32(band), pl.ds(r0, rows_out), :]
+            c = pltpu.make_async_copy(
+                stage.at[np.int32(slot)], dst, sem_out.at[np.int32(slot)]
+            )
+            c.start()
+            cps.append(c)
+        for c in cps:
+            c.wait()
+
+    smem_spec = pl.BlockSpec(
+        taps_op.shape, lambda i: (np.int32(0), np.int32(0)),
+        memory_space=pltpu.SMEM,
+    )
+    B = big.shape[0]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [jax.ShapeDtypeStruct((B, N_w // 128, 128), big.dtype)]
+    if not final:
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shape.append(
+            jax.ShapeDtypeStruct((N_w // 128, 128), big.dtype)
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), smem_spec,
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=tuple(out_specs) if not final else out_specs[0],
+        out_shape=tuple(out_shape) if not final else out_shape[0],
+        input_output_aliases={2: 0},
+        scratch_shapes=[
+            pltpu.VMEM((rows_in, 128), big.dtype),
+            pltpu.VMEM((2, rows_out, 128), big.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(ext, taps_op, big)
+
+
+def _rec1_level(y_ext, a_ext, det_band, taps_op, K, N_w, CH, scale):
+    """One 1D synthesis level from wrap-extended band rows: approx from
+    ``a_ext`` (or band 0 of y_ext when None), detail from band
+    ``det_band`` of ``y_ext``; returns compact (N_w/128, 128)."""
+    from .pallas_kernels import _up as up
+
+    G = N_w // CH
+    rows_out = CH // 128
+    rows_in = (CH + 2 * _PAD1) // 128
+
+    def kernel(*args):
+        args = list(args)
+        y_ref = args.pop(0)
+        a_ref = args.pop(0) if a_ext is not None else None
+        taps_ref = args.pop(0)
+        out_ref = args.pop(0)
+        bufs, sem_in, stage, sem_out = args
+        i = pl.program_id(0)
+        r0 = pl.multiple_of(i * np.int32(rows_out), 8)
+        cps = []
+        for c, (src, band) in enumerate(
+            (
+                (y_ref if a_ref is None else a_ref,
+                 0 if a_ref is None else None),
+                (y_ref, det_band),
+            )
+        ):
+            idx = (pl.ds(r0, rows_in), slice(None))
+            if band is not None:
+                idx = (np.int32(band),) + idx
+            cps.append(pltpu.make_async_copy(
+                src.at[idx], bufs.at[np.int32(c)], sem_in.at[np.int32(c)]
+            ))
+        for c in cps:
+            c.start()
+        for c in cps:
+            c.wait()
+        acc = None
+        for sel in range(2):
+            v = _corr1(up(bufs[np.int32(sel)]), taps_ref, sel, K, K // 2,
+                       rows_out, True)
+            acc = v if acc is None else acc + v
+        if scale != 1.0:
+            acc = acc * np.float32(scale)
+        stage[...] = acc.astype(stage.dtype)
+        cp = pltpu.make_async_copy(
+            stage, out_ref.at[pl.ds(r0, rows_out), :], sem_out
+        )
+        cp.start()
+        cp.wait()
+
+    smem_spec = pl.BlockSpec(
+        taps_op.shape, lambda i: (np.int32(0), np.int32(0)),
+        memory_space=pltpu.SMEM,
+    )
+    operands = [y_ext]
+    if a_ext is not None:
+        operands.append(a_ext)
+    operands.append(taps_op)
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * (len(operands) - 1)
+        + [smem_spec],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((N_w // 128, 128), y_ext.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, rows_in, 128), y_ext.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((rows_out, 128), y_ext.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )(*operands)
+
+
+def dec_padded1(x, taps_np, level: int, lam: float = 0.0):
+    """Chunked 1D multilevel analysis; (N,) -> (B, N)."""
+    from .pallas_kernels import _compute_dtype, _shrink_details_xla
+
+    N = x.shape[0]
+    CH = _chunk1(N)
+    N_w = _roundup(N, CH)
+    K = taps_np[0].shape[1]
+    taps_op = jnp.asarray(taps_np[0], _compute_dtype(x.dtype))
+    B = 1 + level
+    big = jnp.empty((B, N_w // 128, 128), x.dtype)
+    approx_valid = x  # 1D valid samples
+    for lvl in range(level):
+        final = lvl == level - 1
+        ext = _ext1(approx_valid.reshape(-1)[:N], N, N_w)
+        out = _dec1_level(ext, big, B - 1 - lvl, taps_op, K, N_w, CH,
+                          final)
+        if final:
+            big = out
+        else:
+            big, app = out
+            approx_valid = app.reshape(-1)
+    y = big.reshape(B, N_w)[:, :N]
+    return _shrink_details_xla(y, lam) if lam else y
+
+
+def rec_padded1(y, taps_np, level: int, preserve_l2: bool):
+    """Chunked 1D multilevel synthesis; (B, N) -> (N,)."""
+    from .pallas_kernels import _compute_dtype
+
+    B, N = y.shape
+    CH = _chunk1(N)
+    N_w = _roundup(N, CH)
+    K = taps_np[0].shape[1]
+    taps_op = jnp.asarray(taps_np[0], _compute_dtype(y.dtype))
+    scale = 1.0 if preserve_l2 else 0.5
+    # one wrap-ext of the whole band array (B small: 1 + level)
+    y_ext = jnp.stack([_ext1(y[b], N, N_w) for b in range(B)])
+    acc = _rec1_level(y_ext, None, 1, taps_op, K, N_w, CH, scale)
+    for lvl in range(1, level):
+        a_ext = _ext1(acc.reshape(-1)[:N], N, N_w)
+        acc = _rec1_level(y_ext, a_ext, 1 + lvl, taps_op, K, N_w, CH,
+                          scale)
+    return acc.reshape(-1)[:N]

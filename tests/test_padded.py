@@ -111,3 +111,37 @@ def test_bf16(rng):
         xr.astype(jnp.float32) - x.astype(jnp.float32)
     )))
     assert err < 0.05
+
+
+@pytest.mark.parametrize(
+    "N,wv,level,pl2",
+    [
+        (5000, "db4", 3, False),
+        (4096, "db2", 2, True),
+        (130001, "db6", 3, False),
+    ],
+)
+def test_1d_matches_direct(N, wv, level, pl2, rng):
+    """Chunked 1D mode: long signals beyond the flat kernels' ~196K-sample
+    budget (hardware r5: 1M samples at 374 Mvox/s, 8.4M db6 L4 at 492,
+    oracle-exact — previously REFUSED)."""
+    plan = nw.NDDWT(wavelet=wv, shape=(N,), dtype=jnp.float32,
+                    preserve_l2=pl2)
+    taps = _taps(plan)
+    assert pallas_padded.supported((N,), jnp.float32, taps)
+    x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_padded.dec_padded1(x, taps, level)
+        xr = pallas_padded.rec_padded1(y, taps, level, pl2)
+    yd = direct_path.dec_direct(x, plan.taps, level)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yd), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xr), np.asarray(x), atol=1e-4)
+
+
+def test_1d_resolves_to_pallas(monkeypatch):
+    import jax as j
+
+    monkeypatch.setattr(j, "default_backend", lambda: "tpu")
+    for N in (200000, 1000000, 8388608):
+        plan = nw.NDDWT(wavelet="db4", shape=(N,), dtype=jnp.float32)
+        assert plan._resolve_path(is_complex=False) == "pallas", N
