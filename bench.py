@@ -475,6 +475,8 @@ def main():
                 # 4D padded mode (dynamic-MRI-class odd frames/slices)
                 ((64, 64, 100, 25), "db4", 3,
                  "4D odd 64x64x100x25 db4 L3"),
+                # chunked long-1D mode (beyond the flat kernels' budget)
+                ((1_000_000,), "db4", 3, "1D 1M db4 L3"),
             ]
         for cfg_shape, cfg_wav, cfg_level, tag in odd_cfgs:
             p = nw.NDDWT(wavelet=cfg_wav, shape=cfg_shape,
